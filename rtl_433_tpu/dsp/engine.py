@@ -1,0 +1,910 @@
+"""The fused pulse-detection engine: one jitted scan over [channels, samples].
+
+This is the TPU re-cast of rtl_433's per-sample hot loops (ref
+src/r_flow.c:104-372): AM low-pass IIR, FM low-pass IIR, the 4-state OOK
+hysteresis machine (ref src/pulse_detect.c:199-483) and the FSK trackers
+(ref src/pulse_detect_fsk.c) — evaluated *vectorized over channels*, with
+exact C integer semantics (truncating division, int16 store-truncation,
+EWMA hacks) so pulse trains match the reference bit-for-bit.
+
+Architecture (TPU-first, not a translation):
+
+- The sample axis is processed by a ``lax.scan`` whose per-step work is a
+  handful of VPU ops on ``[C]`` vectors — channels are the parallel axis.
+- Pulse/gap pairs are *committed* into a small per-chunk ring buffer
+  ``[C, R]`` using dense one-hot writes (cheap on the VPU), instead of
+  per-step scatters into the full ``[C, 1200]`` pulse buffers (expensive).
+- Every ``chunk`` samples the ring is drained: records are deduplicated
+  (FSK rewinds can re-commit an index; last write wins), partitioned by
+  package generation, scattered into the working pulse buffers, and
+  completed packages are copied into the output slots.
+- Completed packages are published to ``out_*`` arrays ([C, cap, 1200]);
+  the host gathers them at block end. Caps/overflows are counted in
+  diagnostics rather than silently lost.
+
+Sequential-state contracts preserved across blocks (SURVEY.md section 5
+"long-context"): IIR carries, detector FSM state, package-in-progress
+buffers, lead-in counter, level estimates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import baseband
+
+# Detector constants (ref src/pulse_detect.c:23-27, include/pulse_data.h:21-27)
+OOK_MAX_HIGH_LEVEL = 16384   # DB_TO_AMP(0)
+OOK_EST_HIGH_RATIO = 64
+OOK_EST_LOW_RATIO = 1024
+PD_MAX_PULSES = 1200
+PD_MIN_PULSES = 16
+PD_MIN_PULSE_SAMPLES = 10
+PD_MIN_GAP_MS = 10
+PD_MAX_GAP_MS = 100
+PD_MAX_GAP_RATIO = 10
+
+# FSK constants (ref src/pulse_detect_fsk.c:22-24)
+FSK_DEFAULT_FM_DELTA = 6000
+FSK_EST_SLOW = 64
+FSK_EST_FAST = 16
+
+# OOK state machine states (ref src/pulse_detect.c:36-41)
+ST_IDLE, ST_PULSE, ST_GAP_START, ST_GAP = 0, 1, 2, 3
+# FSK states (ref include/pulse_detect_fsk.h)
+FSK_INIT, FSK_FH, FSK_FL, FSK_ERR = 0, 1, 2, 3
+
+# published package types
+PKG_NONE, PKG_OOK, PKG_FSK = 0, 1, 2
+
+# out_meta field indices
+(M_TYPE, M_NUM, M_LOW, M_HIGH, M_F1, M_F2, M_START, M_END, M_GEN) = range(9)
+META_FIELDS = 9
+
+
+class DetectorParams(NamedTuple):
+    """Static (hashable) detector configuration.
+
+    Levels follow pulse_detect_set_levels (ref src/pulse_detect.c:86-105)
+    with rtl_433 defaults fixed=0, min=-12.1442 dB, snr=9 dB
+    (ref src/r_api.c:153-156).
+    """
+    sample_rate: int = 250_000
+    use_mag_est: bool = False
+    fsk_minmax: bool = False          # False = "classic" (fpdm OLD) detector
+    enable_fm: bool = True
+    fixed_high_level: float = 0.0     # dB, <0 enables manual override
+    min_high_level: float = -12.1442  # dB
+    high_low_ratio: float = 9.0       # dB
+    fm_low_pass: float = 0.0          # 0 = auto (0.2 minmax / 0.1 classic)
+    chunk: int = 1024                 # samples per inner scan segment
+    ring: int = 96                    # commit records per chunk per channel
+    eops: int = 2                     # EOP records per chunk per channel
+    pkg_cap: int = 8                  # published packages kept per block
+    max_pulses: int = PD_MAX_PULSES
+
+    @property
+    def ook_fixed_high_level(self) -> int:
+        if self.fixed_high_level >= 0.0:
+            return 0
+        f = baseband.db_to_mag if self.use_mag_est else baseband.db_to_amp
+        return f(self.fixed_high_level)
+
+    @property
+    def ook_min_high_level(self) -> int:
+        f = baseband.db_to_mag if self.use_mag_est else baseband.db_to_amp
+        return f(self.min_high_level)
+
+    @property
+    def ook_high_low_ratio(self) -> int:
+        f = baseband.db_to_mag_f if self.use_mag_est else baseband.db_to_amp_f
+        return f(self.high_low_ratio)
+
+
+def detector_init(params: DetectorParams, channels: int):
+    """Fresh per-channel detector state pytree (ref pulse_detect_reset,
+    src/pulse_detect.c:74-84, and pulse_detect_fsk_init :26-32)."""
+    C = channels
+    i32 = lambda v=0: jnp.full((C,), v, jnp.int32)
+    cap = params.pkg_cap
+    mp = params.max_pulses
+    return {
+        # IIR carries (ref src/baseband.c:167-168, :267-271)
+        "lp_y": i32(), "lp_x": i32(),
+        "fm_y": i32(), "fm_phi_prev": i32(),
+        "fm_xr": i32(), "fm_xi": i32(),
+        # OOK FSM
+        "ook_state": i32(ST_IDLE), "plen": i32(), "max_pulse": i32(),
+        "lead_in": i32(), "low_est": i32(), "high_est": i32(),
+        "num": i32(), "cur_pulse": i32(), "ook_f1": i32(),
+        "pkg_start": i32(), "eop_spur": i32(), "gen": i32(),
+        # FSK tracker
+        "fsk_state": i32(FSK_INIT), "flen": i32(),
+        "f1": i32(), "f2": i32(),
+        "vmax": i32(-32768), "vmin": i32(32767), "skip": i32(40),
+        "fsk_num": i32(), "fsk_cur_pulse": i32(),
+        # classic-rewind history (last 4 committed pairs, newest first)
+        "hist_p": jnp.zeros((C, 4), jnp.int32),
+        "hist_g": jnp.zeros((C, 4), jnp.int32),
+        # working pulse buffers: dim1: 0 = OOK package, 1 = FSK package
+        "buf_p": jnp.zeros((C, 2, mp), jnp.int32),
+        "buf_g": jnp.zeros((C, 2, mp), jnp.int32),
+        # published packages
+        "out_p": jnp.zeros((C, cap, mp), jnp.int32),
+        "out_g": jnp.zeros((C, cap, mp), jnp.int32),
+        "out_meta": jnp.zeros((C, cap, META_FIELDS), jnp.int32),
+        "out_n": i32(),
+        # diagnostics
+        "n_ring_ovf": i32(), "n_pkg_drop": i32(), "n_fsk_ovf": i32(),
+    }
+
+
+def _tdiv(a, b: int):
+    """C-style truncating integer division."""
+    return lax.div(a, jnp.int32(b))
+
+
+def _onehot_write(buf, wpos, value, valid):
+    """buf[c, wpos[c]] = value[c] where valid[c], via a dense one-hot select."""
+    R = buf.shape[-1]
+    slots = lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    mask = (slots == wpos[:, None]) & valid[:, None]
+    return jnp.where(mask, value[:, None], buf)
+
+
+def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs):
+    """One sample for all channels. Mirrors pulse_detect_package's while-loop
+    body (ref src/pulse_detect.c:293-476) plus the two IIRs."""
+    am_raw, phi, t, active = xs
+    am_raw = am_raw.astype(jnp.int32)
+    phi = phi.astype(jnp.int32)
+    r = dict(regs)
+
+    # ---- AM low-pass (ref src/baseband.c:161-163), int16 store-truncation
+    am = (baseband.AM_LP_A1 * r["lp_y"] + baseband.AM_LP_B * (am_raw + r["lp_x"])) >> 14
+    am = am.astype(jnp.int16).astype(jnp.int32)
+    r["lp_y"], r["lp_x"] = am, am_raw
+
+    # ---- FM low-pass (ref src/baseband.c:263-264)
+    if params.enable_fm:
+        fm = (fm_alp1 * r["fm_y"] + fm_blp * (phi + r["fm_phi_prev"])) >> 14
+        fm = fm.astype(jnp.int16).astype(jnp.int32)
+        r["fm_y"], r["fm_phi_prev"] = fm, phi
+    else:
+        fm = jnp.zeros_like(am)
+
+    st = r["ook_state"]
+    is_idle = st == ST_IDLE
+    is_pulse = st == ST_PULSE
+    is_gap_start = st == ST_GAP_START
+    is_gap = st == ST_GAP
+
+    # ---- threshold & hysteresis (ref src/pulse_detect.c:300-304)
+    thr = _tdiv(r["low_est"] + jnp.minimum(r["high_est"], OOK_MAX_HIGH_LEVEL), 2)
+    if params.ook_fixed_high_level != 0:
+        thr = jnp.full_like(thr, params.ook_fixed_high_level)
+    hyst = _tdiv(thr, 8)
+    above = am > thr + hyst
+    below = am < thr - hyst
+
+    # record slots produced this step
+    recs = []   # (valid, idx, pulse, gap, is_fsk)
+    eop_valid = jnp.zeros_like(st, jnp.bool_)
+    eop_type = jnp.zeros_like(st)
+    eop_num = jnp.zeros_like(st)
+    eop_f1 = jnp.zeros_like(st)
+    eop_f2 = jnp.zeros_like(st)
+
+    # ========== IDLE (ref :308-335)
+    start = is_idle & above & (r["lead_in"] > OOK_EST_LOW_RATIO)
+    still_idle = is_idle & ~start
+    low_delta = am - r["low_est"]
+    new_low = r["low_est"] + _tdiv(low_delta, OOK_EST_LOW_RATIO) + \
+        jnp.where(low_delta > 0, 1, -1)
+    idle_high = jnp.maximum(params.ook_high_low_ratio * new_low,
+                            params.ook_min_high_level)
+    r["low_est"] = jnp.where(still_idle, new_low, r["low_est"])
+    r["high_est"] = jnp.where(still_idle, idle_high, r["high_est"])
+    r["lead_in"] = jnp.where(still_idle & (r["lead_in"] <= OOK_EST_LOW_RATIO),
+                             r["lead_in"] + 1, r["lead_in"])
+
+    # package start: pulse_data_clear equivalents (ref :312-323)
+    def on_start(name, val):
+        r[name] = jnp.where(start, val, r[name])
+    on_start("plen", jnp.zeros_like(st))
+    on_start("max_pulse", jnp.zeros_like(st))
+    on_start("num", jnp.zeros_like(st))
+    on_start("cur_pulse", jnp.zeros_like(st))
+    on_start("ook_f1", jnp.zeros_like(st))
+    on_start("pkg_start", t.astype(jnp.int32) * jnp.ones_like(st))
+    on_start("gen", r["gen"] + 1)
+    # pulse_detect_fsk_init (ref src/pulse_detect_fsk.c:26-32)
+    on_start("fsk_state", jnp.full_like(st, FSK_INIT))
+    on_start("flen", jnp.zeros_like(st))
+    on_start("f1", jnp.zeros_like(st))
+    on_start("f2", jnp.zeros_like(st))
+    on_start("vmax", jnp.full_like(st, -32768))
+    on_start("vmin", jnp.full_like(st, 32767))
+    on_start("skip", jnp.full_like(st, 40))
+    on_start("fsk_num", jnp.zeros_like(st))
+    on_start("fsk_cur_pulse", jnp.zeros_like(st))
+
+    # ========== PULSE (ref :336-375)
+    p_len = r["plen"] + 1
+    p_gap = is_pulse & below
+    p_spur = p_len < PD_MIN_PULSE_SAMPLES
+    p_spur_idle = p_gap & p_spur & (r["num"] <= 1)
+    p_spur_eop = p_gap & p_spur & (r["num"] > 1)
+    p_end = p_gap & ~p_spur
+    p_cont = is_pulse & ~p_gap
+
+    # still-pulse estimators (ref :361-365)
+    new_high = r["high_est"] + _tdiv(am, OOK_EST_HIGH_RATIO) - \
+        _tdiv(r["high_est"], OOK_EST_HIGH_RATIO)
+    new_high = jnp.maximum(new_high, params.ook_min_high_level)
+    r["high_est"] = jnp.where(p_cont, new_high, r["high_est"])
+    new_ook_f1 = r["ook_f1"] + _tdiv(fm, OOK_EST_HIGH_RATIO) - \
+        _tdiv(r["ook_f1"], OOK_EST_HIGH_RATIO)
+    r["ook_f1"] = jnp.where(p_cont, new_ook_f1, r["ook_f1"])
+
+    r["plen"] = jnp.where(is_pulse, p_len, r["plen"])
+    r["eop_spur"] = jnp.where(p_spur_eop, 1, r["eop_spur"])
+    # pulse -> gap_start commit into register (ref :352-356)
+    r["cur_pulse"] = jnp.where(p_end, p_len, r["cur_pulse"])
+    r["max_pulse"] = jnp.where(p_end, jnp.maximum(p_len, r["max_pulse"]),
+                               r["max_pulse"])
+    r["plen"] = jnp.where(p_end, 0, r["plen"])
+
+    # ========== GAP_START (ref :376-421)
+    gs_len = r["plen"] + 1
+    gs_rejoin = is_gap_start & above
+    gs_real = is_gap_start & ~above & (gs_len >= PD_MIN_PULSE_SAMPLES)
+    r["plen"] = jnp.where(is_gap_start, gs_len, r["plen"])
+    # spurious gap: restore pulse counter (ref :379-381)
+    r["plen"] = jnp.where(gs_rejoin, gs_len + r["cur_pulse"], r["plen"])
+
+    # FSK classification on real gap (ref :387-410)
+    fsk_publish = gs_real & (r["fsk_num"] > PD_MIN_PULSES)
+
+    # ========== GAP (ref :422-469)
+    g_len = r["plen"] + 1
+    r["plen"] = jnp.where(is_gap, g_len, r["plen"])
+    g_new_pulse = is_gap & above
+    # commit pair (cur_pulse, gap) at idx num (ref :426-427)
+    commit_ook = g_new_pulse
+    commit_ook_idx = r["num"]
+    commit_ook_p = r["cur_pulse"]
+    commit_ook_g = g_len
+    num_after = jnp.where(g_new_pulse, r["num"] + 1, r["num"])
+    g_maxp = g_new_pulse & (num_after >= params.max_pulses)  # EOP (ref :430-440)
+    g_back_to_pulse = g_new_pulse & ~g_maxp
+    r["plen"] = jnp.where(g_back_to_pulse, 0, r["plen"])
+    r["cur_pulse"] = jnp.where(g_back_to_pulse, 0, r["cur_pulse"])
+    r["num"] = num_after
+
+    # EOP conditions (ref :447-450); plen already reset if new pulse started
+    samples_per_ms = params.sample_rate // 1000
+    cur_plen = r["plen"]
+    g_eop_gap = is_gap & ~g_maxp & (
+        (r["eop_spur"] > 0)
+        | ((cur_plen > PD_MAX_GAP_RATIO * r["max_pulse"])
+           & (cur_plen > PD_MIN_GAP_MS * samples_per_ms))
+        | (cur_plen > PD_MAX_GAP_MS * samples_per_ms))
+    # gap EOP writes a final pair (ref :451-452); max-pulses EOP does not
+    commit_eop = g_eop_gap
+    commit_eop_idx = r["num"]
+    commit_eop_p = r["cur_pulse"]
+    commit_eop_g = cur_plen
+    ook_eop = g_maxp | g_eop_gap
+    ook_final_num = jnp.where(g_eop_gap, r["num"] + 1, r["num"])
+
+    # ========== FSK tracker (runs in PULSE and GAP_START while num==0;
+    # skipped on the publish step since C returns early)
+    fsk_gate = (is_pulse | (is_gap_start & ~fsk_publish)) & (r["num"] == 0)
+    if params.enable_fm:
+        if params.fsk_minmax:
+            fsk_rec = _fsk_minmax(r, fm, fsk_gate)
+        else:
+            fsk_rec = _fsk_classic(r, fm, fsk_gate)
+    else:
+        fsk_rec = (jnp.zeros_like(st, jnp.bool_), r["fsk_num"],
+                   jnp.zeros_like(st), jnp.zeros_like(st))
+
+    # classic wrap_up on FSK publish (ref src/pulse_detect_fsk.c:143-156)
+    wrap_valid = jnp.zeros_like(st, jnp.bool_)
+    wrap_idx = jnp.zeros_like(st)
+    wrap_p = jnp.zeros_like(st)
+    wrap_g = jnp.zeros_like(st)
+    fsk_final_num = r["fsk_num"]
+    if not params.fsk_minmax and params.enable_fm:
+        can_wrap = fsk_publish & (r["fsk_num"] < params.max_pulses)
+        wlen = r["flen"] + 1
+        at_fh = r["fsk_state"] == FSK_FH
+        wrap_valid = can_wrap
+        wrap_idx = r["fsk_num"]
+        wrap_p = jnp.where(at_fh, wlen, r["fsk_cur_pulse"])
+        wrap_g = jnp.where(at_fh, 0, wlen)
+        fsk_final_num = jnp.where(can_wrap, r["fsk_num"] + 1, r["fsk_num"])
+
+    # ========== state transitions
+    new_st = st
+    new_st = jnp.where(start, ST_PULSE, new_st)
+    new_st = jnp.where(p_spur_idle, ST_IDLE, new_st)
+    new_st = jnp.where(p_spur_eop, ST_GAP, new_st)
+    new_st = jnp.where(p_end, ST_GAP_START, new_st)
+    new_st = jnp.where(gs_rejoin, ST_PULSE, new_st)
+    new_st = jnp.where(gs_real, ST_GAP, new_st)
+    new_st = jnp.where(fsk_publish, ST_IDLE, new_st)
+    new_st = jnp.where(g_back_to_pulse, ST_PULSE, new_st)
+    new_st = jnp.where(ook_eop, ST_IDLE, new_st)
+    r["ook_state"] = new_st
+    r["eop_spur"] = jnp.where(ook_eop, 0, r["eop_spur"])
+
+
+    # ========== ring writes
+    # rec0: OOK commit or FSK commit (mutually exclusive by state)
+    fsk_commit, fsk_commit_idx, fsk_commit_p, fsk_commit_g = fsk_rec
+    rec0_valid = commit_ook | fsk_commit
+    rec0_idx = jnp.where(commit_ook, commit_ook_idx, fsk_commit_idx)
+    rec0_p = jnp.where(commit_ook, commit_ook_p, fsk_commit_p)
+    rec0_g = jnp.where(commit_ook, commit_ook_g, fsk_commit_g)
+    rec0_fsk = ~commit_ook & fsk_commit
+    # rec1: EOP gap-write or classic wrap_up pair
+    rec1_valid = commit_eop | wrap_valid
+    rec1_idx = jnp.where(commit_eop, commit_eop_idx, wrap_idx)
+    rec1_p = jnp.where(commit_eop, commit_eop_p, wrap_p)
+    rec1_g = jnp.where(commit_eop, commit_eop_g, wrap_g)
+    rec1_fsk = ~commit_eop & wrap_valid
+
+    wpos = r["ring_wpos"]
+    ovf0 = rec0_valid & (wpos >= params.ring)
+    w0 = jnp.minimum(wpos, params.ring - 1)
+    val0 = rec0_valid & ~ovf0
+    r["ring_idx"] = _onehot_write(r["ring_idx"], w0, rec0_idx, val0)
+    r["ring_p"] = _onehot_write(r["ring_p"], w0, rec0_p, val0)
+    r["ring_g"] = _onehot_write(r["ring_g"], w0, rec0_g, val0)
+    r["ring_tag"] = _onehot_write(
+        r["ring_tag"], w0,
+        1 + rec0_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2), val0)
+    wpos = wpos + rec0_valid.astype(jnp.int32)
+
+    ovf1 = rec1_valid & (wpos >= params.ring)
+    w1 = jnp.minimum(wpos, params.ring - 1)
+    val1 = rec1_valid & ~ovf1
+    r["ring_idx"] = _onehot_write(r["ring_idx"], w1, rec1_idx, val1)
+    r["ring_p"] = _onehot_write(r["ring_p"], w1, rec1_p, val1)
+    r["ring_g"] = _onehot_write(r["ring_g"], w1, rec1_g, val1)
+    r["ring_tag"] = _onehot_write(
+        r["ring_tag"], w1,
+        1 + rec1_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2), val1)
+    r["ring_wpos"] = wpos + rec1_valid.astype(jnp.int32)
+    r["n_ring_ovf"] = r["n_ring_ovf"] + ovf0.astype(jnp.int32) + ovf1.astype(jnp.int32)
+
+    # EOP meta records
+    eop_valid = ook_eop | fsk_publish
+    eop_type = jnp.where(fsk_publish, PKG_FSK, PKG_OOK)
+    eop_num = jnp.where(fsk_publish, fsk_final_num, ook_final_num)
+    eop_f1 = jnp.where(fsk_publish, r["f1"], r["ook_f1"])
+    eop_f2 = jnp.where(fsk_publish, r["f2"], 0)
+    epos = r["eop_wpos"]
+    e_ovf = eop_valid & (epos >= params.eops)
+    we = jnp.minimum(epos, params.eops - 1)
+    ev = eop_valid & ~e_ovf
+    meta = jnp.stack([
+        eop_type, eop_num, r["low_est"], r["high_est"], eop_f1, eop_f2,
+        r["pkg_start"], t.astype(jnp.int32) * jnp.ones_like(st), r["gen"],
+    ], axis=-1)  # [C, 9]
+    E = params.eops
+    slots = lax.broadcasted_iota(jnp.int32, (1, E), 1)
+    emask = (slots == we[:, None]) & ev[:, None]
+    r["eop_meta"] = jnp.where(emask[:, :, None], meta[:, None, :], r["eop_meta"])
+    r["eop_wpos"] = epos + eop_valid.astype(jnp.int32)
+    r["n_pkg_drop"] = r["n_pkg_drop"] + e_ovf.astype(jnp.int32)
+
+    # ---- EOP-sample reprocessing quirk: the C while-loop returns on publish
+    # WITHOUT incrementing data_counter, so the next call re-processes the
+    # publish sample in IDLE state (ref src/pulse_detect.c:293-476: returns
+    # at :253,:410,:439,:468 skip the increment at :475). Reproduce by
+    # applying the IDLE branch once more for published channels.
+    repro = ook_eop | fsk_publish
+    repro_start = repro & above & (r["lead_in"] > OOK_EST_LOW_RATIO)
+    repro_idle = repro & ~repro_start
+    r_delta = am - r["low_est"]
+    r_low = r["low_est"] + _tdiv(r_delta, OOK_EST_LOW_RATIO) + \
+        jnp.where(r_delta > 0, 1, -1)
+    r["low_est"] = jnp.where(repro_idle, r_low, r["low_est"])
+    r["high_est"] = jnp.where(
+        repro_idle,
+        jnp.maximum(params.ook_high_low_ratio * r_low, params.ook_min_high_level),
+        r["high_est"])
+    r["lead_in"] = jnp.where(repro_idle & (r["lead_in"] <= OOK_EST_LOW_RATIO),
+                             r["lead_in"] + 1, r["lead_in"])
+    for name, val in (
+            ("plen", jnp.zeros_like(st)), ("max_pulse", jnp.zeros_like(st)),
+            ("num", jnp.zeros_like(st)), ("cur_pulse", jnp.zeros_like(st)),
+            ("ook_f1", jnp.zeros_like(st)),
+            ("pkg_start", t.astype(jnp.int32) * jnp.ones_like(st)),
+            ("gen", r["gen"] + 1),
+            ("fsk_state", jnp.full_like(st, FSK_INIT)),
+            ("flen", jnp.zeros_like(st)), ("f1", jnp.zeros_like(st)),
+            ("f2", jnp.zeros_like(st)),
+            ("vmax", jnp.full_like(st, -32768)),
+            ("vmin", jnp.full_like(st, 32767)),
+            ("skip", jnp.full_like(st, 40)),
+            ("fsk_num", jnp.zeros_like(st)),
+            ("fsk_cur_pulse", jnp.zeros_like(st))):
+        r[name] = jnp.where(repro_start, val, r[name])
+    r["ook_state"] = jnp.where(repro_start, ST_PULSE, r["ook_state"])
+
+    # ---- partial-block masking: freeze all step-written state past the
+    # valid length so padded tail samples are no-ops (reference processes
+    # exactly the bytes read; we pad to a chunk multiple).
+    for k in r:
+        if r[k] is not regs[k]:
+            r[k] = jnp.where(active, r[k], regs[k])
+
+    return r, ()
+
+
+def _fsk_classic(r, fm, gate):
+    """Classic dual-EWMA FSK tracker (ref src/pulse_detect_fsk.c:34-141).
+
+    Mutates r's fsk fields in place (functionally); returns the commit record
+    (valid, idx, pulse, gap). Rewinds are served from a 4-deep history of
+    committed pairs; deeper chains are counted in n_fsk_ovf.
+    """
+    st = r["fsk_state"]
+    f1, f2 = r["f1"], r["f2"]
+    f1d = jnp.abs(fm - f1)
+    f2d = jnp.abs(fm - f2)
+    flen = r["flen"] + 1
+
+    in_init = gate & (st == FSK_INIT)
+    in_fh = gate & (st == FSK_FH)
+    in_fl = gate & (st == FSK_FL)
+
+    commit_valid = jnp.zeros_like(st, jnp.bool_)
+    commit_idx = jnp.zeros_like(st)
+    commit_p = jnp.zeros_like(st)
+    commit_g = jnp.zeros_like(st)
+
+    new_st, new_f1, new_f2 = st, f1, f2
+    new_flen = jnp.where(gate, flen, r["flen"])
+    new_num = r["fsk_num"]
+    new_cur = r["fsk_cur_pulse"]
+    hist_p, hist_g = r["hist_p"], r["hist_g"]
+
+    # ---- INIT (ref :41-70)
+    i_early = in_init & (flen < PD_MIN_PULSE_SAMPLES)
+    i_delta = in_init & ~i_early & (f1d > FSK_DEFAULT_FM_DELTA // 2)
+    i_gap_first = i_delta & (fm > f1)     # initial freq was low -> gap
+    i_pulse_first = i_delta & ~(fm > f1)
+    i_track = in_init & ~i_early & ~i_delta
+
+    new_f1 = jnp.where(i_early, _tdiv(f1, 2) + _tdiv(fm, 2), new_f1)
+    # gap-first: pulse[0]=0, gap[0]=len, num=1 (ref :49-57)
+    new_st = jnp.where(i_gap_first, FSK_FH, new_st)
+    new_f2 = jnp.where(i_gap_first, f1, new_f2)
+    new_f1 = jnp.where(i_gap_first, fm, new_f1)
+    commit_valid = commit_valid | i_gap_first
+    commit_idx = jnp.where(i_gap_first, 0, commit_idx)
+    commit_p = jnp.where(i_gap_first, 0, commit_p)
+    commit_g = jnp.where(i_gap_first, flen, commit_g)
+    new_num = jnp.where(i_gap_first, 1, new_num)
+    new_flen = jnp.where(i_gap_first, 0, new_flen)
+    # pulse-first (ref :59-64)
+    new_st = jnp.where(i_pulse_first, FSK_FL, new_st)
+    new_f2 = jnp.where(i_pulse_first, fm, new_f2)
+    new_cur = jnp.where(i_pulse_first, flen, new_cur)
+    new_flen = jnp.where(i_pulse_first, 0, new_flen)
+    # fast tracking (ref :68)
+    new_f1 = jnp.where(i_track, f1 + _tdiv(fm, FSK_EST_FAST) - _tdiv(f1, FSK_EST_FAST), new_f1)
+
+    # ---- FH (ref :71-99)
+    fh_switch = in_fh & (f1d > f2d)
+    fh_store = fh_switch & (flen >= PD_MIN_PULSE_SAMPLES)
+    fh_rewind = fh_switch & ~fh_store
+    fh_track = in_fh & ~fh_switch
+
+    new_st = jnp.where(fh_switch, FSK_FL, new_st)
+    new_cur = jnp.where(fh_store, flen, new_cur)
+    new_flen = jnp.where(fh_store, 0, new_flen)
+    # rewind: restore last committed gap, pop history (ref :81-89)
+    new_flen = jnp.where(fh_rewind, flen + hist_g[:, 0], new_flen)
+    new_num = jnp.where(fh_rewind, new_num - 1, new_num)
+    new_cur = jnp.where(fh_rewind, hist_p[:, 0], new_cur)
+    back_init = fh_rewind & (new_num == 0) & (hist_p[:, 0] == 0)
+    new_f1 = jnp.where(back_init, f2, new_f1)
+    new_st = jnp.where(back_init, FSK_INIT, new_st)
+    # pop
+    hist_p = jnp.where(fh_rewind[:, None],
+                       jnp.concatenate([hist_p[:, 1:], hist_p[:, -1:]], 1), hist_p)
+    hist_g = jnp.where(fh_rewind[:, None],
+                       jnp.concatenate([hist_g[:, 1:], hist_g[:, -1:]], 1), hist_g)
+    # tracking (ref :92-98)
+    fh_fast = fh_track & (fm > f1)
+    new_f1 = jnp.where(fh_fast, f1 + _tdiv(fm, FSK_EST_FAST) - _tdiv(f1, FSK_EST_FAST), new_f1)
+    new_f1 = jnp.where(fh_track & ~fh_fast,
+                       f1 + _tdiv(fm, FSK_EST_SLOW) - _tdiv(f1, FSK_EST_SLOW), new_f1)
+
+    # ---- FL (ref :100-134)
+    fl_switch = in_fl & (f2d > f1d)
+    fl_store = fl_switch & (flen >= PD_MIN_PULSE_SAMPLES)
+    fl_rewind = fl_switch & ~fl_store
+    fl_track = in_fl & ~fl_switch
+
+    new_st = jnp.where(fl_switch, FSK_FH, new_st)
+    # commit pair (ref :105-115)
+    commit_valid = commit_valid | fl_store
+    commit_idx = jnp.where(fl_store, r["fsk_num"], commit_idx)
+    commit_p = jnp.where(fl_store, r["fsk_cur_pulse"], commit_p)
+    commit_g = jnp.where(fl_store, flen, commit_g)
+    new_num = jnp.where(fl_store, r["fsk_num"] + 1, new_num)
+    new_flen = jnp.where(fl_store, 0, new_flen)
+    # push history
+    push = fl_store | i_gap_first
+    push_p = jnp.where(i_gap_first, 0, r["fsk_cur_pulse"])
+    push_g = flen
+    hist_p = jnp.where(push[:, None],
+                       jnp.concatenate([push_p[:, None], hist_p[:, :-1]], 1), hist_p)
+    hist_g = jnp.where(push[:, None],
+                       jnp.concatenate([push_g[:, None], hist_g[:, :-1]], 1), hist_g)
+    # buffer-full workaround (pulse_data_shift) not modeled: saturate + count
+    fsk_full = fl_store & (new_num >= PD_MAX_PULSES)
+    new_num = jnp.where(fsk_full, PD_MAX_PULSES - 1, new_num)
+    r["n_fsk_ovf"] = r["n_fsk_ovf"] + fsk_full.astype(jnp.int32)
+    # rewind (ref :118-124)
+    new_flen = jnp.where(fl_rewind, flen + r["fsk_cur_pulse"], new_flen)
+    new_st = jnp.where(fl_rewind & (r["fsk_num"] == 0), FSK_INIT, new_st)
+    # tracking (ref :127-133)
+    fl_fast = fl_track & (fm < f2)
+    new_f2 = jnp.where(fl_fast, f2 + _tdiv(fm, FSK_EST_FAST) - _tdiv(f2, FSK_EST_FAST), new_f2)
+    new_f2 = jnp.where(fl_track & ~fl_fast,
+                       f2 + _tdiv(fm, FSK_EST_SLOW) - _tdiv(f2, FSK_EST_SLOW), new_f2)
+
+    r["fsk_state"] = new_st
+    r["f1"], r["f2"] = new_f1, new_f2
+    r["flen"] = new_flen
+    r["fsk_num"] = new_num
+    r["fsk_cur_pulse"] = new_cur
+    r["hist_p"], r["hist_g"] = hist_p, hist_g
+    return commit_valid, commit_idx, commit_p, commit_g
+
+
+def _fsk_minmax(r, fm, gate):
+    """Min/max tracker (ref src/pulse_detect_fsk.c:158-221)."""
+    st = r["fsk_state"]
+    active = gate & (r["skip"] == 0)
+    r["skip"] = jnp.where(gate & (r["skip"] > 0), r["skip"] - 1, r["skip"])
+
+    vmax = jnp.where(active, jnp.maximum(fm, r["vmax"]), r["vmax"])
+    vmin = jnp.where(active, jnp.minimum(fm, r["vmin"]), r["vmin"])
+    mid = _tdiv(vmax + vmin, 2)
+    vmax = jnp.where(active & (fm > mid), vmax - 10, vmax)
+    vmin = jnp.where(active & (fm < mid), vmin + 10, vmin)
+    r["vmax"], r["vmin"] = vmax, vmin
+
+    flen = jnp.where(active, r["flen"] + 1, r["flen"])
+
+    in_init = active & (st == FSK_INIT)
+    in_fh = active & (st == FSK_FH)
+    in_fl = active & (st == FSK_FL)
+
+    new_st = st
+    new_st = jnp.where(in_init & (fm > mid), FSK_FH, new_st)
+    new_st = jnp.where(in_init & (fm <= mid), FSK_FL, new_st)
+
+    # FH -> FL: store pulse register (ref :187-192)
+    fh_fall = in_fh & (fm < mid)
+    new_st = jnp.where(fh_fall, FSK_FL, new_st)
+    new_cur = jnp.where(fh_fall, flen, r["fsk_cur_pulse"])
+    flen = jnp.where(fh_fall, 0, flen)
+    new_f2 = jnp.where(in_fh, r["f2"] + _tdiv(fm, FSK_EST_SLOW) - _tdiv(r["f2"], FSK_EST_SLOW), r["f2"])
+
+    # FL -> FH: commit pair (ref :194-208)
+    fl_rise = in_fl & (fm > mid)
+    new_st = jnp.where(fl_rise, FSK_FH, new_st)
+    commit_valid = fl_rise
+    commit_idx = r["fsk_num"]
+    commit_p = new_cur
+    commit_g = flen
+    new_num = jnp.where(fl_rise, r["fsk_num"] + 1, r["fsk_num"])
+    flen = jnp.where(fl_rise, 0, flen)
+    fsk_full = fl_rise & (new_num >= PD_MAX_PULSES)
+    new_num = jnp.where(fsk_full, PD_MAX_PULSES - 1, new_num)
+    r["n_fsk_ovf"] = r["n_fsk_ovf"] + fsk_full.astype(jnp.int32)
+    new_f1 = jnp.where(in_fl, r["f1"] + _tdiv(fm, FSK_EST_SLOW) - _tdiv(r["f1"], FSK_EST_SLOW), r["f1"])
+
+    r["fsk_state"] = new_st
+    r["flen"] = flen
+    r["f1"], r["f2"] = new_f1, new_f2
+    r["fsk_num"] = new_num
+    r["fsk_cur_pulse"] = new_cur
+    return commit_valid, commit_idx, commit_p, commit_g
+
+
+def _drain(params: DetectorParams, r, g0):
+    """Drain the per-chunk ring into working buffers; publish EOP'd packages.
+
+    Records are partitioned by generation (g0, g0+1, g0+2) so a package
+    completed mid-chunk is copied out before the next package's commits
+    overwrite the working buffers.
+    """
+    C, R = r["ring_idx"].shape
+    tag = r["ring_tag"]
+    valid = (tag & 1) == 1
+    is_fsk = (tag & 2) == 2
+    gen = tag >> 2
+    idx = r["ring_idx"]
+
+    # dedupe: keep the LAST record per (gen, fsk, idx) — FSK rewinds recommit
+    key = (gen * 2 + is_fsk.astype(jnp.int32)) * (params.max_pulses + 1) + idx
+    key = jnp.where(valid, key, -1 - lax.broadcasted_iota(jnp.int32, (C, R), 1))
+    later = lax.broadcasted_iota(jnp.int32, (R, R), 0) < \
+        lax.broadcasted_iota(jnp.int32, (R, R), 1)   # [R, R]: j > i
+    same = key[:, :, None] == key[:, None, :]        # [C, R, R]
+    stale = jnp.any(same & later[None], axis=2)
+    keep = valid & ~stale
+
+    eop_meta = r["eop_meta"]  # [C, E, F]
+    epos = r["eop_wpos"]
+
+    buf_p, buf_g = r["buf_p"], r["buf_g"]
+    out_p, out_g, out_meta, out_n = r["out_p"], r["out_g"], r["out_meta"], r["out_n"]
+    n_drop = r["n_pkg_drop"]
+
+    c_iota = lax.broadcasted_iota(jnp.int32, (C, R), 0)
+    for gi in range(3):
+        g = g0 + gi
+        sel = keep & (gen == g[:, None])
+        tgt_idx = jnp.where(sel, idx, params.max_pulses)  # OOB -> dropped
+        scat = jnp.stack([c_iota.reshape(-1),
+                          is_fsk.astype(jnp.int32).reshape(-1),
+                          tgt_idx.reshape(-1)], axis=-1)
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=(0, 1, 2),
+            scatter_dims_to_operand_dims=(0, 1, 2))
+        buf_p = lax.scatter(buf_p, scat, r["ring_p"].reshape(-1), dnums,
+                            mode=lax.GatherScatterMode.FILL_OR_DROP)
+        buf_g = lax.scatter(buf_g, scat, r["ring_g"].reshape(-1), dnums,
+                            mode=lax.GatherScatterMode.FILL_OR_DROP)
+
+        if gi < 2:
+            # publish any EOP of generation g
+            e_gen = eop_meta[:, :, M_GEN]          # [C, E]
+            e_match = (e_gen == g[:, None]) & \
+                (lax.broadcasted_iota(jnp.int32, eop_meta.shape[:2], 1) < epos[:, None])
+            has = jnp.any(e_match, axis=1)         # [C]
+            e_slot = jnp.argmax(e_match, axis=1)   # first matching meta slot
+            meta_row = jnp.take_along_axis(
+                eop_meta, e_slot[:, None, None].repeat(META_FIELDS, 2), axis=1)[:, 0]
+            src_fsk = (meta_row[:, M_TYPE] == PKG_FSK).astype(jnp.int32)
+            train_p = jnp.take_along_axis(buf_p, src_fsk[:, None, None], axis=1)[:, 0]
+            train_g = jnp.take_along_axis(buf_g, src_fsk[:, None, None], axis=1)[:, 0]
+            slot = out_n
+            can = has & (slot < params.pkg_cap)
+            wslot = jnp.minimum(slot, params.pkg_cap - 1)
+            cap_iota = lax.broadcasted_iota(jnp.int32, (C, params.pkg_cap), 1)
+            smask = (cap_iota == wslot[:, None]) & can[:, None]
+            out_p = jnp.where(smask[:, :, None], train_p[:, None, :], out_p)
+            out_g = jnp.where(smask[:, :, None], train_g[:, None, :], out_g)
+            out_meta = jnp.where(smask[:, :, None], meta_row[:, None, :], out_meta)
+            out_n = out_n + has.astype(jnp.int32)
+            n_drop = n_drop + (has & ~can).astype(jnp.int32)
+
+    r["buf_p"], r["buf_g"] = buf_p, buf_g
+    r["out_p"], r["out_g"], r["out_meta"], r["out_n"] = out_p, out_g, out_meta, out_n
+    r["n_pkg_drop"] = n_drop
+    # reset ring
+    r["ring_tag"] = jnp.zeros_like(r["ring_tag"])
+    r["ring_wpos"] = jnp.zeros_like(r["ring_wpos"])
+    r["eop_wpos"] = jnp.zeros_like(r["eop_wpos"])
+    return r
+
+
+def _empty_ring(params: DetectorParams, C):
+    R, E = params.ring, params.eops
+    return {
+        "ring_idx": jnp.zeros((C, R), jnp.int32),
+        "ring_p": jnp.zeros((C, R), jnp.int32),
+        "ring_g": jnp.zeros((C, R), jnp.int32),
+        "ring_tag": jnp.zeros((C, R), jnp.int32),
+        "ring_wpos": jnp.zeros((C,), jnp.int32),
+        "eop_meta": jnp.zeros((C, E, META_FIELDS), jnp.int32),
+        "eop_wpos": jnp.zeros((C,), jnp.int32),
+    }
+
+
+def process_block(params: DetectorParams, state, iq, n_valid=None,
+                  flush: bool = False):
+    """Process one IQ block for all channels; returns (state, packages).
+
+    iq: uint8 [C, N, 2] (cu8). The pipeline is the device equivalent of
+    push_sdr_flow (ref src/r_flow.c:104-372): AM estimation -> AM low-pass
+    -> FM discrimination+low-pass -> pulse detection -> package publish.
+
+    N must be a multiple of params.chunk; ``n_valid`` (traced scalar)
+    marks the real sample count — padded tail samples are no-ops, so any
+    padding value works and file tails match the reference exactly.
+
+    Published packages are in state["out_*"]; callers fetch + reset via
+    :func:`take_packages`.
+    """
+    C, N, _ = iq.shape
+    assert N % params.chunk == 0, "block length must be a multiple of chunk"
+    if n_valid is None:
+        n_valid = N
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+
+    # Pass A: vectorized estimators (ref src/r_flow.c:151-162)
+    if params.use_mag_est:
+        am_raw, avg_db = baseband.magnitude_est_cu8(iq)
+    else:
+        am_raw, avg_db = baseband.envelope_detect_cu8(iq)
+
+    if params.enable_fm:
+        phi, _, _ = baseband.fm_discriminate_cu8(iq, state["fm_xr"], state["fm_xi"])
+        # carry the last *valid* IQ sample for the next block's discriminator
+        last = jnp.maximum(n_valid - 1, 0)
+        xr = iq[:, :, 0].astype(jnp.int32)[:, last] - 128
+        xi = iq[:, :, 1].astype(jnp.int32)[:, last] - 128
+        state = dict(state, fm_xr=xr, fm_xi=xi)
+        alp1, blp = baseband.fm_coeffs(params.sample_rate, params.fm_low_pass,
+                                       params.fsk_minmax)
+    else:
+        phi = jnp.zeros_like(am_raw)
+        alp1, blp = 0, 0
+
+    # per-call resets (ref src/pulse_detect.c:283 and :291)
+    regs = dict(state)
+    regs["high_est"] = jnp.maximum(regs["high_est"], params.ook_min_high_level)
+    regs["eop_spur"] = jnp.zeros_like(regs["eop_spur"])
+    # age package-start positions: previous block's starts become negative
+    regs["pkg_start"] = regs["pkg_start"] - n_valid
+    regs.update(_empty_ring(params, C))
+
+    Ts = params.chunk
+    n_chunks = N // Ts
+    # time-major [n_chunks, Ts, C] slices for the scan
+    am_x = am_raw.astype(jnp.int32).swapaxes(0, 1).reshape(n_chunks, Ts, C)
+    phi_x = phi.astype(jnp.int32).swapaxes(0, 1).reshape(n_chunks, Ts, C)
+    t_x = jnp.arange(N, dtype=jnp.int32).reshape(n_chunks, Ts)
+
+    def chunk_body(carry, xs):
+        am_c, phi_c, t_c = xs
+        g0 = carry["gen"]
+
+        def step(rr, x):
+            am_t, phi_t, t_t = x
+            return _step(params, alp1, blp, rr,
+                         (am_t, phi_t, jnp.full((), t_t), t_t < n_valid))
+
+        carry, _ = lax.scan(step, carry, (am_c, phi_c, t_c))
+        carry = _drain(params, carry, g0)
+        return carry, ()
+
+    regs, _ = lax.scan(chunk_body, regs, (am_x, phi_x, t_x))
+
+    if flush:
+        regs = _flush(params, regs, n_valid)
+
+    # drop ring keys from persistent state
+    for k in _empty_ring(params, C):
+        regs.pop(k)
+    return regs, avg_db
+
+
+def _flush(params: DetectorParams, r, N):
+    """EOF flush (len==0 call, ref src/pulse_detect.c:203-278): finalize any
+    partial package so file decodes match streaming decodes."""
+    st = r["ook_state"]
+    C = st.shape[0]
+    r = dict(r)
+    r.update(_empty_ring(params, C))
+    g0 = r["gen"]
+
+    in_pulse = st == ST_PULSE
+    spur = in_pulse & (r["plen"] < PD_MIN_PULSE_SAMPLES)
+    spur_idle = spur & (r["num"] <= 1)
+    spur_gap = spur & (r["num"] > 1)
+    p_ok = in_pulse & ~spur
+    # store pulse width, fall through to GAP_START (ref :222-227);
+    # the spurious-with-data path also falls through the GAP_START body
+    cur_pulse = jnp.where(p_ok, r["plen"], r["cur_pulse"])
+    eff_gap_start = (st == ST_GAP_START) | p_ok | spur_gap
+    # FSK classification (ref :236-254)
+    fsk_pub = eff_gap_start & (r["fsk_num"] > PD_MIN_PULSES)
+    # classic wrap_up
+    wrap_valid = jnp.zeros_like(st, jnp.bool_)
+    wrap_p = jnp.zeros_like(st)
+    wrap_g = jnp.zeros_like(st)
+    fsk_final = r["fsk_num"]
+    if not params.fsk_minmax and params.enable_fm:
+        can = fsk_pub & (r["fsk_num"] < params.max_pulses)
+        wlen = r["flen"] + 1
+        at_fh = r["fsk_state"] == FSK_FH
+        wrap_valid = can
+        wrap_p = jnp.where(at_fh, wlen, r["fsk_cur_pulse"])
+        wrap_g = jnp.where(at_fh, 0, wlen)
+        fsk_final = jnp.where(can, r["fsk_num"] + 1, r["fsk_num"])
+    # OOK fallthrough to GAP publish (ref :263-272)
+    ook_pub = (eff_gap_start & ~fsk_pub) | (st == ST_GAP)
+    ook_final = jnp.where(ook_pub, r["num"] + 1, r["num"])
+
+    # ring records
+    commit_valid = ook_pub | wrap_valid
+    commit_idx = jnp.where(ook_pub, r["num"], r["fsk_num"])
+    commit_p = jnp.where(ook_pub, cur_pulse, wrap_p)
+    # note: in spurious_gap case C stores gap = pulse_length (the short pulse)
+    commit_g = jnp.where(ook_pub, r["plen"], wrap_g)
+    # GAP_START/PULSE fallthrough stores gap = pulse_length too; in the
+    # GAP_START path pulse_length holds the running gap; in the PULSE path
+    # it was just consumed as the pulse width and C stores pulse_length=0
+    commit_g = jnp.where(p_ok & ~fsk_pub, 0, commit_g)
+    commit_fsk = ~ook_pub & wrap_valid
+
+    r["ring_idx"] = _onehot_write(r["ring_idx"], jnp.zeros_like(st), commit_idx, commit_valid)
+    r["ring_p"] = _onehot_write(r["ring_p"], jnp.zeros_like(st), commit_p, commit_valid)
+    r["ring_g"] = _onehot_write(r["ring_g"], jnp.zeros_like(st), commit_g, commit_valid)
+    r["ring_tag"] = _onehot_write(
+        r["ring_tag"], jnp.zeros_like(st),
+        1 + commit_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2), commit_valid)
+    r["ring_wpos"] = commit_valid.astype(jnp.int32)
+
+    pub = ook_pub | fsk_pub
+    meta = jnp.stack([
+        jnp.where(fsk_pub, PKG_FSK, PKG_OOK),
+        jnp.where(fsk_pub, fsk_final, ook_final),
+        r["low_est"], r["high_est"],
+        jnp.where(fsk_pub, r["f1"], r["ook_f1"]),
+        jnp.where(fsk_pub, r["f2"], 0),
+        r["pkg_start"], jnp.zeros_like(st) + N, r["gen"],
+    ], axis=-1)
+    E = params.eops
+    emask = (lax.broadcasted_iota(jnp.int32, (C, E), 1) == 0) & pub[:, None]
+    r["eop_meta"] = jnp.where(emask[:, :, None], meta[:, None, :], r["eop_meta"])
+    r["eop_wpos"] = pub.astype(jnp.int32)
+
+    r = _drain(params, r, g0)
+    r["ook_state"] = jnp.where(in_pulse | eff_gap_start | (st == ST_GAP) | spur_gap,
+                               ST_IDLE, r["ook_state"])
+    return r
+
+
+def take_packages(state):
+    """Host-side: pull published packages out of the state and reset slots.
+
+    Returns (list per channel of dicts, new_state).
+    """
+    out_n = np.asarray(state["out_n"])
+    out_p = np.asarray(state["out_p"])
+    out_g = np.asarray(state["out_g"])
+    out_meta = np.asarray(state["out_meta"])
+    cap = out_p.shape[1]
+    pkgs = []
+    for c in range(out_n.shape[0]):
+        n = min(int(out_n[c]), cap)
+        for s in range(n):
+            m = out_meta[c, s]
+            num = int(m[M_NUM])
+            pkgs.append({
+                "channel": c,
+                "type": int(m[M_TYPE]),
+                "num_pulses": num,
+                "pulse": out_p[c, s, :num].copy(),
+                "gap": out_g[c, s, :num].copy(),
+                "ook_low_estimate": int(m[M_LOW]),
+                "ook_high_estimate": int(m[M_HIGH]),
+                "fsk_f1_est": int(m[M_F1]),
+                "fsk_f2_est": int(m[M_F2]),
+                "start": int(m[M_START]),
+                "end": int(m[M_END]),
+            })
+    state = dict(state)
+    state["out_n"] = jnp.zeros_like(state["out_n"])
+    return pkgs, state

@@ -1,0 +1,163 @@
+"""Engine vs sequential-oracle parity tests for the pulse detector.
+
+The oracle (tests/fsm_oracle.py) is a faithful behavioral model of the
+reference C detector; tests/test_reference_parity.py closes the loop against
+the actual rtl_433 binary. Here we check the vectorized JAX engine against
+the oracle on synthetic OOK/FSK signals, across block splits and channels.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtl_433_tpu.dsp import DetectorParams, detector_init, process_block
+from rtl_433_tpu.dsp.engine import take_packages
+
+from fsm_oracle import Oracle, am_fm_streams
+from synth import synth_ook, synth_fsk, pwm_pulses, ppm_pulses, fsk_pcm_bits
+
+
+def run_engine(iq, params, block_len=None):
+    """Run the engine over iq [N,2]; returns packages list."""
+    N = iq.shape[0]
+    blocks = [iq] if block_len is None else [
+        iq[i:i + block_len] for i in range(0, N, block_len)]
+    state = detector_init(params, 1)
+    pb = jax.jit(functools.partial(process_block, params),
+                 static_argnames=("flush",))
+    pkgs = []
+    for bi, blk in enumerate(blocks):
+        n = blk.shape[0]
+        pad = (-n) % params.chunk
+        blkp = np.pad(blk, ((0, pad), (0, 0)), constant_values=128)[None]
+        state, _ = pb(state, jnp.asarray(blkp), jnp.int32(n),
+                      flush=(bi == len(blocks) - 1))
+        got, state = take_packages(state)
+        pkgs.extend(got)
+    return pkgs
+
+
+def run_oracle(iq, params):
+    am, fm = am_fm_streams(iq, params.sample_rate, params.fsk_minmax,
+                           params.use_mag_est)
+    if not params.enable_fm:
+        fm = np.zeros_like(fm)
+    o = Oracle(sample_rate=params.sample_rate, minmax=params.fsk_minmax,
+               min_high_level=params.ook_min_high_level,
+               high_low_ratio=params.ook_high_low_ratio)
+    pkgs = o.detect(am.tolist(), fm.tolist())
+    pkgs += o.detect([], [])
+    return pkgs
+
+
+def assert_match(engine_pkgs, oracle_pkgs, check_meta=True):
+    assert len(engine_pkgs) == len(oracle_pkgs), (
+        f"package count {len(engine_pkgs)} != {len(oracle_pkgs)}")
+    for e, (typ, o) in zip(engine_pkgs, oracle_pkgs):
+        assert e["type"] == (2 if typ == "FSK" else 1), (typ, e["type"])
+        assert e["num_pulses"] == o["num"], (e["num_pulses"], o["num"])
+        n = o["num"]
+        assert e["pulse"].tolist() == o["pulse"][:n], (
+            e["pulse"].tolist(), o["pulse"][:n])
+        assert e["gap"].tolist() == o["gap"][:n], (
+            e["gap"].tolist(), o["gap"][:n])
+        if check_meta:
+            assert e["ook_low_estimate"] == o["low"]
+            assert e["ook_high_estimate"] == o["high"]
+            assert e["fsk_f1_est"] == o["f1"]
+            assert e["fsk_f2_est"] == o["f2"]
+
+
+PWM_SIG = lambda: synth_ook(
+    pwm_pulses("110010101001", short_us=264, long_us=744, gap_short_us=744,
+               gap_long_us=264, reset_us=12000, repeats=3),
+    rate=250_000, lead_in_us=20_000, tail_us=120_000)
+
+PPM_SIG = lambda: synth_ook(
+    ppm_pulses("10110010", pulse_us=500, gap_zero_us=1000, gap_one_us=2000,
+               reset_us=6000, repeats=2),
+    rate=250_000, lead_in_us=20_000, tail_us=120_000, seed=3)
+
+FSK_SIG = lambda: synth_fsk(
+    fsk_pcm_bits("1100101011110000" * 4, bit_us=100),
+    rate=250_000, lead_in_us=16_000, tail_us=120_000, seed=7)
+
+
+def test_pwm_matches_oracle():
+    iq = PWM_SIG()
+    params = DetectorParams()
+    assert_match(run_engine(iq, params), run_oracle(iq, params))
+
+
+def test_ppm_matches_oracle():
+    iq = PPM_SIG()
+    params = DetectorParams()
+    assert_match(run_engine(iq, params), run_oracle(iq, params))
+
+
+def test_fsk_classic_matches_oracle():
+    iq = FSK_SIG()
+    params = DetectorParams(fsk_minmax=False)
+    e, o = run_engine(iq, params), run_oracle(iq, params)
+    assert any(p["type"] == 2 for p in e), "no FSK package detected"
+    assert_match(e, o)
+
+
+def test_fsk_minmax_matches_oracle():
+    iq = FSK_SIG()
+    params = DetectorParams(fsk_minmax=True)
+    e, o = run_engine(iq, params), run_oracle(iq, params)
+    assert any(p["type"] == 2 for p in e), "no FSK package detected"
+    assert_match(e, o)
+
+
+def test_block_split_invariance():
+    """Same stream split at different block boundaries => identical packages
+    (the SURVEY section 4.5 boundary-equivalence battery)."""
+    iq = PWM_SIG()
+    params = DetectorParams()
+    whole = run_engine(iq, params)
+    for blk in (4096, 10_000, 13_337):
+        split = run_engine(iq, params, block_len=blk)
+        assert len(split) == len(whole)
+        for a, b in zip(split, whole):
+            assert a["pulse"].tolist() == b["pulse"].tolist()
+            assert a["gap"].tolist() == b["gap"].tolist()
+            assert a["ook_low_estimate"] == b["ook_low_estimate"]
+
+
+def test_multichannel_independence():
+    """Channels are independent: batching shifted copies must reproduce the
+    single-channel result per channel."""
+    iq = PWM_SIG()
+    params = DetectorParams()
+    single = run_engine(iq, params)
+
+    N = iq.shape[0]
+    pad = (-N) % params.chunk
+    C = 4
+    batch = np.tile(np.pad(iq, ((0, pad), (0, 0)), constant_values=128),
+                    (C, 1, 1))
+    state = detector_init(params, C)
+    pb = jax.jit(functools.partial(process_block, params),
+                 static_argnames=("flush",))
+    state, _ = pb(state, jnp.asarray(batch), jnp.int32(N), flush=True)
+    pkgs, _ = take_packages(state)
+    assert len(pkgs) == C * len(single)
+    per_chan = {}
+    for p in pkgs:
+        per_chan.setdefault(p["channel"], []).append(p)
+    for c in range(C):
+        for a, b in zip(per_chan[c], single):
+            assert a["pulse"].tolist() == b["pulse"].tolist()
+            assert a["gap"].tolist() == b["gap"].tolist()
+
+
+def test_empty_signal_no_packages():
+    iq = np.full((8192, 2), 128, np.uint8)
+    params = DetectorParams()
+    assert run_engine(iq, params) == []
