@@ -1,0 +1,258 @@
+"""Library API: config lifecycle, the block flow, event fan-out.
+
+The Python equivalent of r_api.c / r_flow.c: owns the detector params and
+state, the protocol registry and the output sinks; drives IQ blocks through
+the jitted engine and routes published packages through slicers + decoders
+to events (ref src/r_flow.c:104-372, src/r_api.c:632-839).
+"""
+
+from __future__ import annotations
+
+import functools
+import time as _time
+from typing import List, Optional
+
+import numpy as np
+
+from .decoders import Registry
+from .dsp import DetectorParams, detector_init, process_block
+from .dsp.engine import take_packages, PKG_FSK
+from .io import parse_filename, load_iq
+from .output.data_model import Event, convert_units
+from .pulse.data import PulseData, rfraw_check, rfraw_parse
+from .pulse import slicers as _slicers
+
+DEFAULT_BUF_SAMPLES = 131072   # 256 KiB cu8 (ref include/sdr.h:17)
+FSK_PULSE_DETECTOR_LIMIT = 800_000_000  # ref include/rtl_433.h:18
+
+_cache_enabled = False
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the engine compiles once per
+    (rate, channels, block-shape) and is reused across runs."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+    import jax
+    cache_dir = os.environ.get("TPU433_CACHE", "/tmp/tpu433_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    _cache_enabled = True
+
+
+class RtlTpu:
+    """One receiver flow (single- or multi-channel)."""
+
+    def __init__(self, sample_rate: int = 250_000,
+                 center_frequency: float = 433_920_000.0,
+                 fsk_mode: str = "auto",          # auto|classic|minmax
+                 use_mag_est: bool = False,
+                 convert: str = "native",         # native|si|customary
+                 report_meta: bool = False,
+                 report_protocol: bool = False,
+                 report_time: str = "off",        # off|iso|unix
+                 channels: int = 1,
+                 register_all: bool = True):
+        self.sample_rate = int(sample_rate)
+        self.center_frequency = float(center_frequency)
+        self.fsk_mode = fsk_mode
+        self.use_mag_est = use_mag_est
+        self.convert = convert
+        self.report_meta = report_meta
+        self.report_protocol = report_protocol
+        self.report_time = report_time
+        self.channels = channels
+
+        self.registry = Registry()
+        if register_all:
+            self.registry.register_all()
+        self.events: List[Event] = []
+        self.sinks = []
+        self._state = None
+        self._params = None
+        self._jit = None
+        self._stream_pos = 0
+
+    # -- config ---------------------------------------------------------------
+
+    def set_frequency(self, hz: float):
+        self.center_frequency = float(hz)
+        self._invalidate()
+
+    def set_sample_rate(self, rate: int):
+        self.sample_rate = int(rate)
+        self._invalidate()
+
+    def _invalidate(self):
+        self._state = None
+        self._params = None
+        self._jit = None
+
+    @property
+    def fsk_minmax(self) -> bool:
+        """-Y auto resolves by frequency (ref src/rtl_433.c:1094-1102)."""
+        if self.fsk_mode == "minmax":
+            return True
+        if self.fsk_mode == "classic":
+            return False
+        return self.center_frequency > FSK_PULSE_DETECTOR_LIMIT
+
+    def _ensure_pipeline(self):
+        if self._params is None:
+            _enable_compile_cache()
+            enable_fm = any(d.is_fsk for d in self.registry.active) or True
+            self._params = DetectorParams(
+                sample_rate=self.sample_rate,
+                use_mag_est=self.use_mag_est,
+                fsk_minmax=self.fsk_minmax,
+                enable_fm=enable_fm)
+            self._state = detector_init(self._params, self.channels)
+            import jax
+            self._jit = jax.jit(
+                functools.partial(process_block, self._params),
+                static_argnames=("flush",), donate_argnums=(0,))
+            self._stream_pos = 0
+
+    # -- block flow -------------------------------------------------------------
+
+    def push_block(self, iq: np.ndarray, flush: bool = False):
+        """Feed CU8 [N, 2] (single channel) or [C, N, 2] samples."""
+        import jax.numpy as jnp
+        self._ensure_pipeline()
+        if iq.ndim == 2:
+            iq = iq[None]
+        C, N, _ = iq.shape
+        # pad to the standard block size so all blocks share one compilation
+        target = DEFAULT_BUF_SAMPLES if N <= DEFAULT_BUF_SAMPLES else (
+            N + (-N) % self._params.chunk)
+        pad = target - N
+        if pad:
+            iq = np.pad(iq, ((0, 0), (0, pad), (0, 0)), constant_values=128)
+        self._state, avg_db = self._jit(self._state, jnp.asarray(iq),
+                                        jnp.int32(N), flush=flush)
+        pkgs, self._state = take_packages(self._state)
+        events = 0
+        for pkg in pkgs:
+            events += self._handle_package(pkg, N)
+        self._stream_pos += N
+        return events
+
+    def _handle_package(self, pkg: dict, block_len: int) -> int:
+        pd = PulseData(
+            pulse=pkg["pulse"].tolist(),
+            gap=pkg["gap"].tolist(),
+            sample_rate=self.sample_rate,
+            offset=self._stream_pos + pkg["start"],
+            ook_low_estimate=pkg["ook_low_estimate"],
+            ook_high_estimate=pkg["ook_high_estimate"],
+            fsk_f1_est=pkg["fsk_f1_est"],
+            fsk_f2_est=pkg["fsk_f2_est"])
+        pd.calc_rssi_snr(self.sample_rate, self.center_frequency,
+                         sample_size=2, use_mag_est=self.use_mag_est)
+        is_fsk = pkg["type"] == PKG_FSK
+        self._last_pd = pd
+        self._last_is_fsk = is_fsk
+        cb = functools.partial(self._event_cb, pd=pd, is_fsk=is_fsk)
+        if is_fsk:
+            return self.registry.run_fsk_demods(pd, cb)
+        return self.registry.run_ook_demods(pd, cb)
+
+    def _event_cb(self, dev, ev: Event, pd=None, is_fsk=False):
+        """data_acquired_handler equivalent (ref src/r_api.c:632-839)."""
+        if self.convert != "native":
+            ev = convert_units(ev, self.convert)
+        if self.report_protocol and dev.num:
+            ev.prepend(("protocol", dev.num, "Protocol"))
+        if self.report_meta:
+            if is_fsk:
+                ev.append(("mod", "FSK", "Modulation"),
+                          ("freq1", pd.freq1_hz / 1e6, "Freq1", "%.1f MHz"),
+                          ("freq2", pd.freq2_hz / 1e6, "Freq2", "%.1f MHz"),
+                          ("rssi", pd.rssi_db, "RSSI", "%.1f dB"),
+                          ("snr", pd.snr_db, "SNR", "%.1f dB"),
+                          ("noise", pd.noise_db, "Noise", "%.1f dB"))
+            else:
+                ev.append(("mod", "ASK", "Modulation"),
+                          ("freq", pd.freq1_hz / 1e6, "Freq", "%.1f MHz"),
+                          ("rssi", pd.rssi_db, "RSSI", "%.1f dB"),
+                          ("snr", pd.snr_db, "SNR", "%.1f dB"),
+                          ("noise", pd.noise_db, "Noise", "%.1f dB"))
+        if self.report_time != "off":
+            if self.report_time == "samples":
+                # file replay: position-based time (ref src/r_util.c:153-156,
+                # src/r_api.c:306-310 "@%fs")
+                ts = f"@{pd.offset / self.sample_rate:f}s"
+            elif self.report_time == "unix":
+                ts = str(int(_time.time()))
+            else:
+                ts = _time.strftime("%Y-%m-%d %H:%M:%S")
+            ev.prepend(("time", ts))
+        self.events.append(ev)
+        for sink in self.sinks:
+            sink(ev)
+
+    # -- entry points -------------------------------------------------------
+
+    def decode_file(self, path: str) -> List[Event]:
+        """-r equivalent: replay a sample file (ref src/rtl_433.c:1688-1866)."""
+        if self.report_time == "iso":
+            self.report_time = "samples"  # file mode defaults to @position
+        info = parse_filename(path)
+        if info.sample_rate:
+            self.sample_rate = info.sample_rate
+            self._invalidate()
+        if info.center_frequency:
+            self.center_frequency = info.center_frequency
+            self._invalidate()
+        fmt = info.format or "cu8"
+        if fmt == "ook":
+            return self.decode_ook_file(info.path)
+        iq = load_iq(info.path, fmt)
+        start = len(self.events)
+        n = iq.shape[0]
+        for pos in range(0, max(n, 1), DEFAULT_BUF_SAMPLES):
+            blk = iq[pos: pos + DEFAULT_BUF_SAMPLES]
+            if blk.shape[0] == 0:
+                break
+            self.push_block(blk, flush=pos + DEFAULT_BUF_SAMPLES >= n)
+        return self.events[start:]
+
+    def decode_ook_file(self, path: str) -> List[Event]:
+        """Replay an OOK text pulse file (ref src/rtl_433.c:1755-1794)."""
+        start = len(self.events)
+        for pd in PulseData.load_all(open(path).read(), self.sample_rate):
+            cb = functools.partial(self._event_cb, pd=pd, is_fsk=pd.is_fsk)
+            if pd.is_fsk:
+                self.registry.run_fsk_demods(pd, cb)
+            else:
+                self.registry.run_ook_demods(pd, cb)
+        return self.events[start:]
+
+    def decode_test_string(self, code: str) -> List[Event]:
+        """-y equivalent (ref src/rtl_433.c:1576-1685): RfRaw pulse strings
+        run the demods; {n}hex codes feed every decoder directly."""
+        start = len(self.events)
+        if rfraw_check(code):
+            pd = rfraw_parse(code, self.sample_rate)
+            if pd:
+                cb = functools.partial(self._event_cb, pd=pd,
+                                       is_fsk=pd.fsk_f2_est != 0)
+                pd.calc_rssi_snr(self.sample_rate, self.center_frequency)
+                if pd.fsk_f2_est:
+                    self.registry.run_fsk_demods(pd, cb)
+                else:
+                    self.registry.run_ook_demods(pd, cb)
+            return self.events[start:]
+        dummy_pd = PulseData(sample_rate=self.sample_rate)
+        for dev in self.registry.active:
+            for bits in _slicers.slicer_string(code):
+                ret = dev.decode_fn(bits, dev) if dev.decode_fn else 0
+                for ev in dev.account(ret):
+                    self._event_cb(dev, ev, pd=dummy_pd, is_fsk=dev.is_fsk)
+        return self.events[start:]

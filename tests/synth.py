@@ -64,14 +64,17 @@ def pwm_pulses(bits, short_us=500, long_us=1000, gap_short_us=1000,
 
 
 def ppm_pulses(bits, pulse_us=500, gap_zero_us=1000, gap_one_us=2000,
-               reset_us=4000, repeats=1):
-    """PPM: gap width encodes the bit."""
+               reset_us=4000, repeats=1, stop_pulse=True):
+    """PPM: gap width encodes the bit; a trailing stop pulse closes the row
+    (the final data gap would otherwise be eaten by the row/reset gap)."""
     out = []
     for _ in range(repeats):
-        for k, b in enumerate(bits):
-            last = k == len(bits) - 1
-            gap = gap_one_us if b == "1" else gap_zero_us
-            out.append((pulse_us, reset_us if last else gap))
+        for b in bits:
+            out.append((pulse_us, gap_one_us if b == "1" else gap_zero_us))
+        if stop_pulse:
+            out.append((pulse_us, reset_us))
+        else:
+            out[-1] = (out[-1][0], reset_us)
     return out
 
 
