@@ -107,11 +107,14 @@ class RtlTpu:
         if self._params is None:
             _enable_compile_cache()
             enable_fm = any(d.is_fsk for d in self.registry.active) or True
+            import jax
+            on_tpu = jax.default_backend() not in ("cpu",)
             self._params = DetectorParams(
                 sample_rate=self.sample_rate,
                 use_mag_est=self.use_mag_est,
                 fsk_minmax=self.fsk_minmax,
-                enable_fm=enable_fm)
+                enable_fm=enable_fm,
+                unroll=16 if on_tpu else 1)
             self._state = detector_init(self._params, self.channels)
             import jax
             self._jit = jax.jit(

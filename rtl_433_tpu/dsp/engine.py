@@ -87,6 +87,9 @@ class DetectorParams(NamedTuple):
     eops: int = 2                     # EOP records per chunk per channel
     pkg_cap: int = 8                  # published packages kept per block
     max_pulses: int = PD_MAX_PULSES
+    unroll: int = 1                   # samples per scan iteration; >1
+                                      # amortizes TPU while-loop overhead at
+                                      # the cost of (much) longer compiles
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -769,20 +772,28 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     regs.update(_empty_ring(params, C))
 
     Ts = params.chunk
+    U = params.unroll
+    assert Ts % U == 0, "chunk must be a multiple of unroll"
     n_chunks = N // Ts
-    # time-major [n_chunks, Ts, C] slices for the scan
-    am_x = am_raw.astype(jnp.int32).swapaxes(0, 1).reshape(n_chunks, Ts, C)
-    phi_x = phi.astype(jnp.int32).swapaxes(0, 1).reshape(n_chunks, Ts, C)
-    t_x = jnp.arange(N, dtype=jnp.int32).reshape(n_chunks, Ts)
+    # time-major [n_chunks, Ts/U, U, C] slices: the scan iterates Ts/U times
+    # per chunk, each iteration processing U samples inline (amortizes the
+    # TPU while-loop per-iteration overhead, the dominant cost otherwise)
+    am_x = am_raw.astype(jnp.int32).swapaxes(0, 1).reshape(
+        n_chunks, Ts // U, U, C)
+    phi_x = phi.astype(jnp.int32).swapaxes(0, 1).reshape(
+        n_chunks, Ts // U, U, C)
+    t_x = jnp.arange(N, dtype=jnp.int32).reshape(n_chunks, Ts // U, U)
 
     def chunk_body(carry, xs):
         am_c, phi_c, t_c = xs
         g0 = carry["gen"]
 
         def step(rr, x):
-            am_t, phi_t, t_t = x
-            return _step(params, alp1, blp, rr,
-                         (am_t, phi_t, jnp.full((), t_t), t_t < n_valid))
+            am_u, phi_u, t_u = x
+            for u in range(U):
+                rr, _ = _step(params, alp1, blp, rr,
+                              (am_u[u], phi_u[u], t_u[u], t_u[u] < n_valid))
+            return rr, ()
 
         carry, _ = lax.scan(step, carry, (am_c, phi_c, t_c))
         carry = _drain(params, carry, g0)
