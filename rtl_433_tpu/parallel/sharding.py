@@ -1,0 +1,150 @@
+"""Channel-sharded execution of the pulse-detection engine.
+
+The reference is single-process/single-threaded (SURVEY.md §2 "Parallelism
+strategies"); the TPU framework *invents* the parallel decomposition:
+
+- **dp ("ch" axis)** — channel data-parallelism: independent receiver
+  channels are the leading axis of every state leaf and of the IQ block;
+  `shard_map` splits them across the mesh. This is the production scale-out
+  axis (BASELINE.md: >=10k channels of 250 kS/s on a v5e-16).
+- **collectives** — the only cross-channel coupling is diagnostic: the
+  global noise floor is a `lax.pmean` over the mesh (the TPU equivalent of
+  the reference's process-wide noise EWMA, ref src/r_flow.c:166-194). It
+  rides ICI; no other communication exists on the hot path, so scaling is
+  embarrassingly linear by construction.
+- **sp (time axis)** — within a channel the engine already processes the
+  sample axis as a `lax.scan` with an O(1) carried-state pytree; sequence
+  sharding across chips would exchange that carry via `ppermute` (pipeline
+  parallelism). Channels are abundant in the target deployment, so dp is
+  the primary axis; the carry contract is what makes sp possible at all.
+
+Mesh layouts: 1-D ``("ch",)`` within a slice; 2-D ``("host", "ch")`` for
+multi-host runs where the host axis rides DCN and channels within a host
+ride ICI. Both shard channels; the 2-D form keeps the pmean hierarchical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.maps import shard_map  # type: ignore
+
+from ..dsp.engine import DetectorParams, detector_init, process_block
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Sequence[str] = ("ch",),
+              devices=None) -> Mesh:
+    """Build a device mesh for channel sharding.
+
+    1-D ``("ch",)`` uses all (or the first ``n_devices``) devices on the
+    channel axis; 2-D ``("host", "ch")`` factors them as
+    ``n_hosts x per_host`` (DCN x ICI).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    devices = np.asarray(devices)
+    if len(axes) == 1:
+        return Mesh(devices, axes)
+    if len(axes) == 2:
+        n = devices.size
+        hosts = max(1, len({getattr(d, "process_index", 0) for d in devices.flat}))
+        if n % hosts:
+            hosts = 1
+        return Mesh(devices.reshape(hosts, n // hosts), axes)
+    raise ValueError(f"unsupported mesh axes {axes!r}")
+
+
+def _channel_spec(mesh: Mesh) -> P:
+    """Channels are sharded over every mesh axis (flattened)."""
+    return P(tuple(mesh.axis_names))
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a detector-state pytree on the mesh, channel axis sharded."""
+    sharding = NamedSharding(mesh, _channel_spec(mesh))
+    return jax.device_put(state, sharding)
+
+
+def shard_block(iq, mesh: Mesh):
+    """Place an IQ block [C, N, 2] on the mesh, channel axis sharded."""
+    return jax.device_put(iq, NamedSharding(mesh, _channel_spec(mesh)))
+
+
+def sharded_process_block(params: DetectorParams, mesh: Mesh,
+                          flush: bool = False, donate: bool = True):
+    """Jitted, mesh-sharded engine step.
+
+    Returns ``fn(state, iq, n_valid) -> (state, avg_db, noise_floor_db)``
+    where ``noise_floor_db`` is the mesh-global mean block level (a `pmean`
+    over all mesh axes — the one ICI/DCN collective in the hot path).
+    """
+    spec = _channel_spec(mesh)
+    axis_names = tuple(mesh.axis_names)
+
+    def local(state, iq, n_valid):
+        state, avg_db = process_block(params, state, iq, n_valid, flush=flush)
+        noise = jnp.mean(avg_db)
+        for ax in axis_names:
+            noise = lax.pmean(noise, ax)
+        return state, avg_db, noise
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, P()),
+        out_specs=(spec, spec, P()),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def sharded_init(params: DetectorParams, channels: int, mesh: Mesh):
+    """Fresh detector state, already placed on the mesh.
+
+    ``channels`` must divide evenly by the mesh size.
+    """
+    n = mesh.devices.size
+    if channels % n:
+        raise ValueError(f"channels ({channels}) must be a multiple of the "
+                         f"mesh size ({n})")
+    state = detector_init(params, channels)
+    return shard_state(state, mesh)
+
+
+class ShardedEngine:
+    """Convenience wrapper: a multi-channel engine spread over a mesh.
+
+    The TPU analogue of running N independent rtl_433 processes: one state
+    pytree, channels sharded, one compiled step for all of them.
+    """
+
+    def __init__(self, params: DetectorParams, channels: int,
+                 mesh: Optional[Mesh] = None):
+        self.params = params
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.channels = channels
+        self.state = sharded_init(params, channels, self.mesh)
+        self._step = sharded_process_block(params, self.mesh, flush=False)
+        self._flush_step = sharded_process_block(params, self.mesh, flush=True)
+        self.noise_floor_db = None
+
+    def push(self, iq, n_valid=None, flush: bool = False):
+        """Feed one [C, N, 2] CU8 block; returns per-channel block dB."""
+        if n_valid is None:
+            n_valid = iq.shape[1]
+        iq = shard_block(jnp.asarray(iq), self.mesh)
+        step = self._flush_step if flush else self._step
+        self.state, avg_db, noise = step(self.state, iq, jnp.int32(n_valid))
+        self.noise_floor_db = noise
+        return avg_db
