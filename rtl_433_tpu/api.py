@@ -108,13 +108,12 @@ class RtlTpu:
             _enable_compile_cache()
             enable_fm = any(d.is_fsk for d in self.registry.active) or True
             import jax
-            on_tpu = jax.default_backend() not in ("cpu",)
             self._params = DetectorParams(
                 sample_rate=self.sample_rate,
                 use_mag_est=self.use_mag_est,
                 fsk_minmax=self.fsk_minmax,
                 enable_fm=enable_fm,
-                unroll=16 if on_tpu else 1)
+                unroll=16 if jax.default_backend() != "cpu" else 1)
             self._state = detector_init(self._params, self.channels)
             import jax
             self._jit = jax.jit(
@@ -137,8 +136,10 @@ class RtlTpu:
         pad = target - N
         if pad:
             iq = np.pad(iq, ((0, 0), (0, pad), (0, 0)), constant_values=128)
+        # full blocks take the unmasked streaming hot path (n_valid=None)
+        n_valid = None if pad == 0 else jnp.int32(N)
         self._state, avg_db = self._jit(self._state, jnp.asarray(iq),
-                                        jnp.int32(N), flush=flush)
+                                        n_valid, flush=flush)
         pkgs, self._state = take_packages(self._state)
         events = 0
         for pkg in pkgs:

@@ -82,14 +82,18 @@ class DetectorParams(NamedTuple):
     min_high_level: float = -12.1442  # dB
     high_low_ratio: float = 9.0       # dB
     fm_low_pass: float = 0.0          # 0 = auto (0.2 minmax / 0.1 classic)
-    chunk: int = 1024                 # samples per inner scan segment
-    ring: int = 96                    # commit records per chunk per channel
+    chunk: int = 128                  # samples per drain interval
+    ring: int = 8                     # commit records per chunk per channel
+                                      # (~1 per 20 samples possible; 8 holds
+                                      # any real signal at 128-sample chunks,
+                                      # overflow is counted in n_ring_ovf)
     eops: int = 2                     # EOP records per chunk per channel
     pkg_cap: int = 8                  # published packages kept per block
     max_pulses: int = PD_MAX_PULSES
-    unroll: int = 1                   # samples per scan iteration; >1
-                                      # amortizes TPU while-loop overhead at
-                                      # the cost of (much) longer compiles
+    unroll: int = 1                   # samples inlined per scan iteration;
+                                      # 16 on TPU amortizes loop overhead,
+                                      # must stay small on CPU (XLA CPU
+                                      # compiles large bodies superlinearly)
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -160,9 +164,14 @@ def _onehot_write(buf, wpos, value, valid):
     return jnp.where(mask, value[:, None], buf)
 
 
-def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs):
+def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
+          masked: bool = True):
     """One sample for all channels. Mirrors pulse_detect_package's while-loop
-    body (ref src/pulse_detect.c:293-476) plus the two IIRs."""
+    body (ref src/pulse_detect.c:293-476) plus the two IIRs.
+
+    ``masked=False`` compiles the streaming hot path without the padded-tail
+    freezing (callers guarantee every sample is valid).
+    """
     am_raw, phi, t, active = xs
     am_raw = am_raw.astype(jnp.int32)
     phi = phi.astype(jnp.int32)
@@ -195,47 +204,11 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs):
     above = am > thr + hyst
     below = am < thr - hyst
 
-    # record slots produced this step
-    recs = []   # (valid, idx, pulse, gap, is_fsk)
-    eop_valid = jnp.zeros_like(st, jnp.bool_)
-    eop_type = jnp.zeros_like(st)
-    eop_num = jnp.zeros_like(st)
-    eop_f1 = jnp.zeros_like(st)
-    eop_f2 = jnp.zeros_like(st)
-
-    # ========== IDLE (ref :308-335)
+    # ========== IDLE (ref :308-335) — the start/EWMA *application* is merged
+    # with the EOP-reprocessing quirk at the end of the step; only the
+    # conditions are computed here.
     start = is_idle & above & (r["lead_in"] > OOK_EST_LOW_RATIO)
     still_idle = is_idle & ~start
-    low_delta = am - r["low_est"]
-    new_low = r["low_est"] + _tdiv(low_delta, OOK_EST_LOW_RATIO) + \
-        jnp.where(low_delta > 0, 1, -1)
-    idle_high = jnp.maximum(params.ook_high_low_ratio * new_low,
-                            params.ook_min_high_level)
-    r["low_est"] = jnp.where(still_idle, new_low, r["low_est"])
-    r["high_est"] = jnp.where(still_idle, idle_high, r["high_est"])
-    r["lead_in"] = jnp.where(still_idle & (r["lead_in"] <= OOK_EST_LOW_RATIO),
-                             r["lead_in"] + 1, r["lead_in"])
-
-    # package start: pulse_data_clear equivalents (ref :312-323)
-    def on_start(name, val):
-        r[name] = jnp.where(start, val, r[name])
-    on_start("plen", jnp.zeros_like(st))
-    on_start("max_pulse", jnp.zeros_like(st))
-    on_start("num", jnp.zeros_like(st))
-    on_start("cur_pulse", jnp.zeros_like(st))
-    on_start("ook_f1", jnp.zeros_like(st))
-    on_start("pkg_start", t.astype(jnp.int32) * jnp.ones_like(st))
-    on_start("gen", r["gen"] + 1)
-    # pulse_detect_fsk_init (ref src/pulse_detect_fsk.c:26-32)
-    on_start("fsk_state", jnp.full_like(st, FSK_INIT))
-    on_start("flen", jnp.zeros_like(st))
-    on_start("f1", jnp.zeros_like(st))
-    on_start("f2", jnp.zeros_like(st))
-    on_start("vmax", jnp.full_like(st, -32768))
-    on_start("vmin", jnp.full_like(st, 32767))
-    on_start("skip", jnp.full_like(st, 40))
-    on_start("fsk_num", jnp.zeros_like(st))
-    on_start("fsk_cur_pulse", jnp.zeros_like(st))
 
     # ========== PULSE (ref :336-375)
     p_len = r["plen"] + 1
@@ -290,10 +263,11 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs):
     r["cur_pulse"] = jnp.where(g_back_to_pulse, 0, r["cur_pulse"])
     r["num"] = num_after
 
-    # EOP conditions (ref :447-450); plen already reset if new pulse started
+    # EOP conditions (ref :447-450): the C code's `else if` — a sample that
+    # starts a new pulse is never also an EOP check
     samples_per_ms = params.sample_rate // 1000
     cur_plen = r["plen"]
-    g_eop_gap = is_gap & ~g_maxp & (
+    g_eop_gap = is_gap & ~g_new_pulse & (
         (r["eop_spur"] > 0)
         | ((cur_plen > PD_MAX_GAP_RATIO * r["max_pulse"])
            & (cur_plen > PD_MIN_GAP_MS * samples_per_ms))
@@ -348,45 +322,35 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs):
     r["ook_state"] = new_st
     r["eop_spur"] = jnp.where(ook_eop, 0, r["eop_spur"])
 
-
-    # ========== ring writes
-    # rec0: OOK commit or FSK commit (mutually exclusive by state)
+    # ========== ring write — the four record sources are mutually exclusive
+    # by FSM state (OOK commit / EOP final pair in GAP; FSK commit in
+    # PULSE/GAP_START while num==0; classic wrap_up only on FSK publish),
+    # so a step emits at most ONE record.
     fsk_commit, fsk_commit_idx, fsk_commit_p, fsk_commit_g = fsk_rec
-    rec0_valid = commit_ook | fsk_commit
-    rec0_idx = jnp.where(commit_ook, commit_ook_idx, fsk_commit_idx)
-    rec0_p = jnp.where(commit_ook, commit_ook_p, fsk_commit_p)
-    rec0_g = jnp.where(commit_ook, commit_ook_g, fsk_commit_g)
-    rec0_fsk = ~commit_ook & fsk_commit
-    # rec1: EOP gap-write or classic wrap_up pair
-    rec1_valid = commit_eop | wrap_valid
-    rec1_idx = jnp.where(commit_eop, commit_eop_idx, wrap_idx)
-    rec1_p = jnp.where(commit_eop, commit_eop_p, wrap_p)
-    rec1_g = jnp.where(commit_eop, commit_eop_g, wrap_g)
-    rec1_fsk = ~commit_eop & wrap_valid
+    rec_valid = commit_ook | commit_eop | fsk_commit | wrap_valid
+    rec_idx = jnp.where(commit_ook, commit_ook_idx,
+                        jnp.where(commit_eop, commit_eop_idx,
+                                  jnp.where(fsk_commit, fsk_commit_idx,
+                                            wrap_idx)))
+    rec_p = jnp.where(commit_ook, commit_ook_p,
+                      jnp.where(commit_eop, commit_eop_p,
+                                jnp.where(fsk_commit, fsk_commit_p, wrap_p)))
+    rec_g = jnp.where(commit_ook, commit_ook_g,
+                      jnp.where(commit_eop, commit_eop_g,
+                                jnp.where(fsk_commit, fsk_commit_g, wrap_g)))
+    rec_fsk = fsk_commit | wrap_valid
 
     wpos = r["ring_wpos"]
-    ovf0 = rec0_valid & (wpos >= params.ring)
+    ovf = rec_valid & (wpos >= params.ring)
     w0 = jnp.minimum(wpos, params.ring - 1)
-    val0 = rec0_valid & ~ovf0
-    r["ring_idx"] = _onehot_write(r["ring_idx"], w0, rec0_idx, val0)
-    r["ring_p"] = _onehot_write(r["ring_p"], w0, rec0_p, val0)
-    r["ring_g"] = _onehot_write(r["ring_g"], w0, rec0_g, val0)
-    r["ring_tag"] = _onehot_write(
-        r["ring_tag"], w0,
-        1 + rec0_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2), val0)
-    wpos = wpos + rec0_valid.astype(jnp.int32)
-
-    ovf1 = rec1_valid & (wpos >= params.ring)
-    w1 = jnp.minimum(wpos, params.ring - 1)
-    val1 = rec1_valid & ~ovf1
-    r["ring_idx"] = _onehot_write(r["ring_idx"], w1, rec1_idx, val1)
-    r["ring_p"] = _onehot_write(r["ring_p"], w1, rec1_p, val1)
-    r["ring_g"] = _onehot_write(r["ring_g"], w1, rec1_g, val1)
-    r["ring_tag"] = _onehot_write(
-        r["ring_tag"], w1,
-        1 + rec1_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2), val1)
-    r["ring_wpos"] = wpos + rec1_valid.astype(jnp.int32)
-    r["n_ring_ovf"] = r["n_ring_ovf"] + ovf0.astype(jnp.int32) + ovf1.astype(jnp.int32)
+    val = rec_valid & ~ovf
+    tag = 1 + rec_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2)
+    r["ring_idx"] = _onehot_write(r["ring_idx"], w0, rec_idx, val)
+    r["ring_p"] = _onehot_write(r["ring_p"], w0, rec_p, val)
+    r["ring_g"] = _onehot_write(r["ring_g"], w0, rec_g, val)
+    r["ring_tag"] = _onehot_write(r["ring_tag"], w0, tag, val)
+    r["ring_wpos"] = wpos + rec_valid.astype(jnp.int32)
+    r["n_ring_ovf"] = r["n_ring_ovf"] + ovf.astype(jnp.int32)
 
     # EOP meta records
     eop_valid = ook_eop | fsk_publish
@@ -405,51 +369,59 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs):
     E = params.eops
     slots = lax.broadcasted_iota(jnp.int32, (1, E), 1)
     emask = (slots == we[:, None]) & ev[:, None]
-    r["eop_meta"] = jnp.where(emask[:, :, None], meta[:, None, :], r["eop_meta"])
+    r["eop_meta"] = jnp.where(emask[:, :, None], meta[:, None, :],
+                              r["eop_meta"])
     r["eop_wpos"] = epos + eop_valid.astype(jnp.int32)
     r["n_pkg_drop"] = r["n_pkg_drop"] + e_ovf.astype(jnp.int32)
 
-    # ---- EOP-sample reprocessing quirk: the C while-loop returns on publish
-    # WITHOUT incrementing data_counter, so the next call re-processes the
-    # publish sample in IDLE state (ref src/pulse_detect.c:293-476: returns
-    # at :253,:410,:439,:468 skip the increment at :475). Reproduce by
-    # applying the IDLE branch once more for published channels.
+    # ---- merged IDLE application + EOP-sample reprocessing quirk.
+    # The C while-loop returns on publish WITHOUT incrementing data_counter,
+    # so the next call re-processes the publish sample in IDLE state (ref
+    # src/pulse_detect.c:293-476: returns at :253,:410,:439,:468 skip the
+    # increment at :475). Publishing channels therefore run the IDLE branch
+    # on this same sample; since no earlier branch touches low/high/lead_in
+    # for IDLE or publishing channels, one application serves both.
     repro = ook_eop | fsk_publish
     repro_start = repro & above & (r["lead_in"] > OOK_EST_LOW_RATIO)
-    repro_idle = repro & ~repro_start
-    r_delta = am - r["low_est"]
-    r_low = r["low_est"] + _tdiv(r_delta, OOK_EST_LOW_RATIO) + \
-        jnp.where(r_delta > 0, 1, -1)
-    r["low_est"] = jnp.where(repro_idle, r_low, r["low_est"])
+    idle_mask = still_idle | (repro & ~repro_start)
+    start_mask = start | repro_start
+
+    low_delta = am - r["low_est"]
+    new_low = r["low_est"] + _tdiv(low_delta, OOK_EST_LOW_RATIO) + \
+        jnp.where(low_delta > 0, 1, -1)
+    r["low_est"] = jnp.where(idle_mask, new_low, r["low_est"])
     r["high_est"] = jnp.where(
-        repro_idle,
-        jnp.maximum(params.ook_high_low_ratio * r_low, params.ook_min_high_level),
+        idle_mask,
+        jnp.maximum(params.ook_high_low_ratio * new_low,
+                    params.ook_min_high_level),
         r["high_est"])
-    r["lead_in"] = jnp.where(repro_idle & (r["lead_in"] <= OOK_EST_LOW_RATIO),
+    r["lead_in"] = jnp.where(idle_mask & (r["lead_in"] <= OOK_EST_LOW_RATIO),
                              r["lead_in"] + 1, r["lead_in"])
-    for name, val in (
-            ("plen", jnp.zeros_like(st)), ("max_pulse", jnp.zeros_like(st)),
-            ("num", jnp.zeros_like(st)), ("cur_pulse", jnp.zeros_like(st)),
-            ("ook_f1", jnp.zeros_like(st)),
+
+    # package start: pulse_data_clear + pulse_detect_fsk_init equivalents
+    # (ref :312-323, src/pulse_detect_fsk.c:26-32)
+    zero = jnp.zeros_like(st)
+    for name, init in (
+            ("plen", zero), ("max_pulse", zero), ("num", zero),
+            ("cur_pulse", zero), ("ook_f1", zero),
             ("pkg_start", t.astype(jnp.int32) * jnp.ones_like(st)),
             ("gen", r["gen"] + 1),
             ("fsk_state", jnp.full_like(st, FSK_INIT)),
-            ("flen", jnp.zeros_like(st)), ("f1", jnp.zeros_like(st)),
-            ("f2", jnp.zeros_like(st)),
+            ("flen", zero), ("f1", zero), ("f2", zero),
             ("vmax", jnp.full_like(st, -32768)),
             ("vmin", jnp.full_like(st, 32767)),
             ("skip", jnp.full_like(st, 40)),
-            ("fsk_num", jnp.zeros_like(st)),
-            ("fsk_cur_pulse", jnp.zeros_like(st))):
-        r[name] = jnp.where(repro_start, val, r[name])
-    r["ook_state"] = jnp.where(repro_start, ST_PULSE, r["ook_state"])
+            ("fsk_num", zero), ("fsk_cur_pulse", zero)):
+        r[name] = jnp.where(start_mask, init, r[name])
+    r["ook_state"] = jnp.where(start_mask, ST_PULSE, r["ook_state"])
 
-    # ---- partial-block masking: freeze all step-written state past the
-    # valid length so padded tail samples are no-ops (reference processes
-    # exactly the bytes read; we pad to a chunk multiple).
-    for k in r:
-        if r[k] is not regs[k]:
-            r[k] = jnp.where(active, r[k], regs[k])
+    if masked:
+        # partial-block masking: freeze all step-written state past the
+        # valid length so padded tail samples are no-ops (reference
+        # processes exactly the bytes read; we pad to a chunk multiple).
+        for k in r:
+            if r[k] is not regs[k]:
+                r[k] = jnp.where(active, r[k], regs[k])
 
     return r, ()
 
@@ -632,7 +604,8 @@ def _fsk_minmax(r, fm, gate):
 
 
 def _drain(params: DetectorParams, r, g0):
-    """Drain the per-chunk ring into working buffers; publish EOP'd packages.
+    """Drain the per-chunk record columns into working buffers; publish
+    EOP'd packages.
 
     Records are partitioned by generation (g0, g0+1, g0+2) so a package
     completed mid-chunk is copied out before the next package's commits
@@ -679,9 +652,9 @@ def _drain(params: DetectorParams, r, g0):
 
         if gi < 2:
             # publish any EOP of generation g
-            e_gen = eop_meta[:, :, M_GEN]          # [C, E]
-            e_match = (e_gen == g[:, None]) & \
-                (lax.broadcasted_iota(jnp.int32, eop_meta.shape[:2], 1) < epos[:, None])
+            e_match = (eop_meta[:, :, M_GEN] == g[:, None]) & \
+                (lax.broadcasted_iota(jnp.int32, eop_meta.shape[:2], 1)
+                 < epos[:, None])
             has = jnp.any(e_match, axis=1)         # [C]
             e_slot = jnp.argmax(e_match, axis=1)   # first matching meta slot
             meta_row = jnp.take_along_axis(
@@ -740,9 +713,10 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     """
     C, N, _ = iq.shape
     assert N % params.chunk == 0, "block length must be a multiple of chunk"
-    if n_valid is None:
-        n_valid = N
-    n_valid = jnp.asarray(n_valid, jnp.int32)
+    # n_valid=None is the streaming hot path: every sample is valid and the
+    # per-step tail-masking ops are compiled out entirely.
+    if n_valid is not None:
+        n_valid = jnp.asarray(n_valid, jnp.int32)
 
     # Pass A: vectorized estimators (ref src/r_flow.c:151-162)
     if params.use_mag_est:
@@ -753,7 +727,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     if params.enable_fm:
         phi, _, _ = baseband.fm_discriminate_cu8(iq, state["fm_xr"], state["fm_xi"])
         # carry the last *valid* IQ sample for the next block's discriminator
-        last = jnp.maximum(n_valid - 1, 0)
+        last = N - 1 if n_valid is None else jnp.maximum(n_valid - 1, 0)
         xr = iq[:, :, 0].astype(jnp.int32)[:, last] - 128
         xi = iq[:, :, 1].astype(jnp.int32)[:, last] - 128
         state = dict(state, fm_xr=xr, fm_xi=xi)
@@ -768,7 +742,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     regs["high_est"] = jnp.maximum(regs["high_est"], params.ook_min_high_level)
     regs["eop_spur"] = jnp.zeros_like(regs["eop_spur"])
     # age package-start positions: previous block's starts become negative
-    regs["pkg_start"] = regs["pkg_start"] - n_valid
+    regs["pkg_start"] = regs["pkg_start"] - (N if n_valid is None else n_valid)
     regs.update(_empty_ring(params, C))
 
     Ts = params.chunk
@@ -777,7 +751,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     n_chunks = N // Ts
     # time-major [n_chunks, Ts/U, U, C] slices: the scan iterates Ts/U times
     # per chunk, each iteration processing U samples inline (amortizes the
-    # TPU while-loop per-iteration overhead, the dominant cost otherwise)
+    # TPU while-loop per-iteration overhead)
     am_x = am_raw.astype(jnp.int32).swapaxes(0, 1).reshape(
         n_chunks, Ts // U, U, C)
     phi_x = phi.astype(jnp.int32).swapaxes(0, 1).reshape(
@@ -791,18 +765,25 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         def step(rr, x):
             am_u, phi_u, t_u = x
             for u in range(U):
+                act = None if n_valid is None else t_u[u] < n_valid
                 rr, _ = _step(params, alp1, blp, rr,
-                              (am_u[u], phi_u[u], t_u[u], t_u[u] < n_valid))
+                              (am_u[u], phi_u[u], t_u[u], act),
+                              masked=n_valid is not None)
             return rr, ()
 
-        carry, _ = lax.scan(step, carry, (am_c, phi_c, t_c))
-        carry = _drain(params, carry, g0)
+        rr, _ = lax.scan(step, carry, (am_c, phi_c, t_c))
+        # drain only when the chunk produced records or EOPs — noise
+        # chunks (the common case) skip the dedup/scatter/publish work
+        has_work = jnp.any(rr["ring_wpos"] > 0) | jnp.any(rr["eop_wpos"] > 0)
+        carry = lax.cond(has_work,
+                         lambda c: _drain(params, c, g0),
+                         lambda c: c, rr)
         return carry, ()
 
     regs, _ = lax.scan(chunk_body, regs, (am_x, phi_x, t_x))
 
     if flush:
-        regs = _flush(params, regs, n_valid)
+        regs = _flush(params, regs, N if n_valid is None else n_valid)
 
     # drop ring keys from persistent state
     for k in _empty_ring(params, C):
@@ -859,12 +840,12 @@ def _flush(params: DetectorParams, r, N):
     commit_g = jnp.where(p_ok & ~fsk_pub, 0, commit_g)
     commit_fsk = ~ook_pub & wrap_valid
 
-    r["ring_idx"] = _onehot_write(r["ring_idx"], jnp.zeros_like(st), commit_idx, commit_valid)
-    r["ring_p"] = _onehot_write(r["ring_p"], jnp.zeros_like(st), commit_p, commit_valid)
-    r["ring_g"] = _onehot_write(r["ring_g"], jnp.zeros_like(st), commit_g, commit_valid)
-    r["ring_tag"] = _onehot_write(
-        r["ring_tag"], jnp.zeros_like(st),
-        1 + commit_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2), commit_valid)
+    tag = jnp.where(commit_valid,
+                    1 + commit_fsk.astype(jnp.int32) * 2 + (r["gen"] << 2), 0)
+    r["ring_idx"] = r["ring_idx"].at[:, 0].set(commit_idx)
+    r["ring_p"] = r["ring_p"].at[:, 0].set(commit_p)
+    r["ring_g"] = r["ring_g"].at[:, 0].set(commit_g)
+    r["ring_tag"] = r["ring_tag"].at[:, 0].set(tag)
     r["ring_wpos"] = commit_valid.astype(jnp.int32)
 
     pub = ook_pub | fsk_pub
@@ -876,9 +857,7 @@ def _flush(params: DetectorParams, r, N):
         jnp.where(fsk_pub, r["f2"], 0),
         r["pkg_start"], jnp.zeros_like(st) + N, r["gen"],
     ], axis=-1)
-    E = params.eops
-    emask = (lax.broadcasted_iota(jnp.int32, (C, E), 1) == 0) & pub[:, None]
-    r["eop_meta"] = jnp.where(emask[:, :, None], meta[:, None, :], r["eop_meta"])
+    r["eop_meta"] = r["eop_meta"].at[:, 0, :].set(meta)
     r["eop_wpos"] = pub.astype(jnp.int32)
 
     r = _drain(params, r, g0)

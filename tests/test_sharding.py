@@ -17,7 +17,7 @@ from synth import pwm_pulses, synth_ook
 
 
 def _params():
-    return DetectorParams(sample_rate=250_000, chunk=256, unroll=1, pkg_cap=4)
+    return DetectorParams(sample_rate=250_000, pkg_cap=4)
 
 
 def _mk_blocks(channels, n, seed=7):
