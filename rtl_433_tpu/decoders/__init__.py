@@ -8,3 +8,4 @@ from .base import (
     DECODE_FAIL_SANITY,
 )
 from . import protocols  # noqa: F401  (registers decode functions)
+from . import temperature  # noqa: F401
