@@ -46,6 +46,19 @@ VECTORS = [
     (97, "{41}387321bb818 {41}387321bb818", 1),               # thermopro_tp12
     (108, " ".join(["{24}0d7842"] * 4), 1),                   # wssensor
     (38, " ".join(["{24}42835c"] * 10), 1),                   # generic_temp
+    # batch 2: remotes / switches / security
+    (16, " ".join(["{36}480eb0a2f"] * 8), 1),                 # alectov1 T/H
+    (68, " ".join(["{25}edcba10"] * 9), 1),                   # kerui
+    (30, "{25}edcba98", 1),                                   # generic_remote
+    (87, " ".join(["{20}80042"] * 4), 1),                     # generic_motion
+    (46, "{41}ad552ac11d0", 1),                               # ht680
+    (49, " ".join(["{18}edc80"] * 5), 1),                     # quhwa
+    (48, "{25}edcbae0", 1),                                   # akhan_100F14
+    (58, "{33}ce8e2a6c8", 1),                                 # blyss
+    (62, " ".join(["{33}37f62a6c8"] * 5), 1),                 # elro_db286a
+    (86, " ".join(["{24}5bd37f"] * 3), 1),                    # smoke_gs558
+    (13, "{0} " + " ".join(["{40}552d70f2d0"] * 12), 1),      # mebus433
+    (14, "{8}00 {64}563412abcd00053c", 1),                    # intertechno
 ]
 
 
