@@ -10,3 +10,4 @@ from .base import (
 from . import protocols  # noqa: F401  (registers decode functions)
 from . import temperature  # noqa: F401
 from . import remotes  # noqa: F401
+from . import acurite  # noqa: F401

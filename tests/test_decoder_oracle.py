@@ -59,6 +59,15 @@ VECTORS = [
     (86, " ".join(["{24}5bd37f"] * 3), 1),                    # smoke_gs558
     (13, "{0} " + " ".join(["{40}552d70f2d0"] * 12), 1),      # mebus433
     (14, "{8}00 {64}563412abcd00053c", 1),                    # intertechno
+    # batch 3: acurite family
+    (10, " ".join(["{24}4205d7"] * 12), 1),                   # rain 896
+    (11, "{40}4220d72d66", 1),                                # 609TXC
+    (40, "{56}2dcbbbd2f6c040", 1),                            # tower 592TXR
+    (40, "{64}2dcb8777e78ed243", 1),                          # 5n1
+    (41, "{40}54482c40e6", 1),                                # 986
+    (55, " ".join(["{32}4290d7fc"] * 3), 1),                  # 606TX
+    (163, " ".join(["{25}0112bc0"] * 3), 1),                  # 590TX
+    (74, " ".join(["{88}edcbbea9b40df4bffcdfb1"] * 3), 1),    # 00275rm
 ]
 
 
@@ -98,8 +107,9 @@ def rtl433():
     return BIN
 
 
-@pytest.mark.parametrize("num,code,min_events",
-                         VECTORS, ids=[str(v[0]) for v in VECTORS])
+@pytest.mark.parametrize(
+    "num,code,min_events", VECTORS,
+    ids=[f"{i}-p{v[0]}" for i, v in enumerate(VECTORS)])
 def test_decoder_matches_reference(rtl433, num, code, min_events):
     ref = _ref_events(num, code)
     ours = _our_events(num, code)
