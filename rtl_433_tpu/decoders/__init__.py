@@ -11,3 +11,4 @@ from . import protocols  # noqa: F401  (registers decode functions)
 from . import temperature  # noqa: F401
 from . import remotes  # noqa: F401
 from . import acurite  # noqa: F401
+from . import fineoffset  # noqa: F401

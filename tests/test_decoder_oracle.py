@@ -68,6 +68,14 @@ VECTORS = [
     (55, " ".join(["{32}4290d7fc"] * 3), 1),                  # 606TX
     (163, " ".join(["{25}0112bc0"] * 3), 1),                  # 590TX
     (74, " ".join(["{88}edcbbea9b40df4bffcdfb1"] * 3), 1),    # 00275rm
+    # batch 4: fineoffset family
+    (18, "{48}ff4120d72da2", 1),                              # WH2
+    (78, "{496}" + "00" * 40 + "aa2dd4e50272282721c9bb" + "00" * 11, 1),
+    (78, "{192}d5555555aa2dd4245f85710327040100250000800000f441", 1),
+    (78, "{96}55aa2dd4419702d003256f41", 1),                  # WH0290
+    (142, "{144}aaaa2dd451006b586e7f24f8d2ffffff3c28", 1),    # WH51
+    (79, "{71}fe71451e0401ffcea2", 1),                        # WH0530
+    (79, "{63}fe71451e0401ffce", 1),                          # WS1200v1
 ]
 
 
