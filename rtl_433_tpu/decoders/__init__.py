@@ -12,3 +12,4 @@ from . import temperature  # noqa: F401
 from . import remotes  # noqa: F401
 from . import acurite  # noqa: F401
 from . import fineoffset  # noqa: F401
+from . import lacrosse  # noqa: F401

@@ -76,6 +76,13 @@ VECTORS = [
     (142, "{144}aaaa2dd451006b586e7f24f8d2ffffff3c28", 1),    # WH51
     (79, "{71}fe71451e0401ffcea2", 1),                        # WH0530
     (79, "{63}fe71451e0401ffce", 1),                          # WS1200v1
+    # batch 5: lacrosse family
+    (8, "{44}0a050715714", 1),                                # lacrossetx
+    (73, " ".join(["{40}bddd34d2fd"] * 5), 1),                # tx141th
+    (166, "{288}aaaaaaaaaaaaaaaad2aa2dd41234560426703707b10e02d2d2d200000000000000000000", 1),
+    (171, "{192}aaaaaaaad2aa2dd41234560426703731d2d2000000000000", 1),
+    (170, "{128}d2aa2dd41234560407b10e0120035000", 1),        # wr1
+    (175, "{224}fff00000aaaaaaaad2aa2dd43803220e00aa146a9300000000000000", 1),
 ]
 
 
