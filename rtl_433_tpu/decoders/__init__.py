@@ -13,3 +13,4 @@ from . import remotes  # noqa: F401
 from . import acurite  # noqa: F401
 from . import fineoffset  # noqa: F401
 from . import lacrosse  # noqa: F401
+from . import oregon  # noqa: F401

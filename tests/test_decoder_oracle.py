@@ -83,6 +83,11 @@ VECTORS = [
     (171, "{192}aaaaaaaad2aa2dd41234560426703731d2d2000000000000", 1),
     (170, "{128}d2aa2dd41234560407b10e0120035000", 1),        # wr1
     (175, "{224}fff00000aaaaaaaad2aa2dd43803220e00aa146a9300000000000000", 1),
+    # batch 6: oregon scientific
+    (12, "{168}ff5555559995a5a6aa6a9966aa666a9aaa965aaaaa", 1),  # THN132N v2.1
+    (12, "{104}00000005f04285a0a840a206c0", 1),                  # THGR810 v3
+    (50, "{32}a2a8403a", 1),                                     # Oregon-v1
+    (54, "{38}d51435c168 {38}d51435c168", 1),                    # SL109H
 ]
 
 
