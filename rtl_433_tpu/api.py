@@ -58,7 +58,9 @@ class RtlTpu:
                  report_protocol: bool = False,
                  report_time: str = "off",        # off|iso|unix
                  channels: int = 1,
+                 analyze: bool = False,
                  register_all: bool = True):
+        self.analyze = analyze
         self.sample_rate = int(sample_rate)
         self.center_frequency = float(center_frequency)
         self.fsk_mode = fsk_mode
@@ -106,7 +108,9 @@ class RtlTpu:
     def _ensure_pipeline(self):
         if self._params is None:
             _enable_compile_cache()
-            enable_fm = any(d.is_fsk for d in self.registry.active) or True
+            # FM demod runs only when an FSK decoder is registered
+            # (ref src/rtl_433.c:1516-1526)
+            enable_fm = any(d.is_fsk for d in self.registry.active)
             import jax
             self._params = DetectorParams(
                 sample_rate=self.sample_rate,
@@ -164,8 +168,13 @@ class RtlTpu:
         self._last_is_fsk = is_fsk
         cb = functools.partial(self._event_cb, pd=pd, is_fsk=is_fsk)
         if is_fsk:
-            return self.registry.run_fsk_demods(pd, cb)
-        return self.registry.run_ook_demods(pd, cb)
+            n = self.registry.run_fsk_demods(pd, cb)
+        else:
+            n = self.registry.run_ook_demods(pd, cb)
+        if self.analyze:
+            from .pulse.analyzer import analyze_pulses
+            analyze_pulses(pd, pkg["type"])
+        return n
 
     def _event_cb(self, dev, ev: Event, pd=None, is_fsk=False):
         """data_acquired_handler equivalent (ref src/r_api.c:632-839)."""

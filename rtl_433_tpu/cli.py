@@ -111,6 +111,7 @@ def main(argv=None):
 
     rx = RtlTpu(sample_rate=rate, center_frequency=freq, fsk_mode=fsk_mode,
                 use_mag_est=use_mag_est, convert=convert,
+                analyze=analyze,
                 report_meta="level" in meta,
                 report_protocol="protocol" in meta,
                 report_time="iso" if ("time" in meta or in_files or test_codes)
@@ -161,10 +162,6 @@ def main(argv=None):
                   file=sys.stderr)
             return 2
         n_events += len(evs)
-
-    if analyze:
-        from .pulse.analyzer import analyze_pulses  # noqa
-        # analyzer output is produced during decode when enabled
 
     if test_codes and n_events == 0:
         return 1

@@ -182,13 +182,17 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
     am = am.astype(jnp.int16).astype(jnp.int32)
     r["lp_y"], r["lp_x"] = am, am_raw
 
-    # ---- FM low-pass (ref src/baseband.c:263-264)
+    # ---- FM low-pass (ref src/baseband.c:263-264). With FM demod disabled
+    # the reference's fm buffer is a union alias of the raw envelope
+    # scratch (dm_state buf.temp == buf.fm, ref include/r_private.h), so
+    # the detector's fm_data IS the raw envelope — reproduced by the
+    # caller passing phi = am_raw.
     if params.enable_fm:
         fm = (fm_alp1 * r["fm_y"] + fm_blp * (phi + r["fm_phi_prev"])) >> 14
         fm = fm.astype(jnp.int16).astype(jnp.int32)
         r["fm_y"], r["fm_phi_prev"] = fm, phi
     else:
-        fm = jnp.zeros_like(am)
+        fm = phi
 
     st = r["ook_state"]
     is_idle = st == ST_IDLE
@@ -282,15 +286,13 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
 
     # ========== FSK tracker (runs in PULSE and GAP_START while num==0;
     # skipped on the publish step since C returns early)
+    # the reference runs the FSK sub-detector even with FM demod disabled
+    # (on the aliased envelope buffer, see above)
     fsk_gate = (is_pulse | (is_gap_start & ~fsk_publish)) & (r["num"] == 0)
-    if params.enable_fm:
-        if params.fsk_minmax:
-            fsk_rec = _fsk_minmax(r, fm, fsk_gate)
-        else:
-            fsk_rec = _fsk_classic(r, fm, fsk_gate)
+    if params.fsk_minmax:
+        fsk_rec = _fsk_minmax(r, fm, fsk_gate)
     else:
-        fsk_rec = (jnp.zeros_like(st, jnp.bool_), r["fsk_num"],
-                   jnp.zeros_like(st), jnp.zeros_like(st))
+        fsk_rec = _fsk_classic(r, fm, fsk_gate)
 
     # classic wrap_up on FSK publish (ref src/pulse_detect_fsk.c:143-156)
     wrap_valid = jnp.zeros_like(st, jnp.bool_)
@@ -298,7 +300,7 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
     wrap_p = jnp.zeros_like(st)
     wrap_g = jnp.zeros_like(st)
     fsk_final_num = r["fsk_num"]
-    if not params.fsk_minmax and params.enable_fm:
+    if not params.fsk_minmax:
         can_wrap = fsk_publish & (r["fsk_num"] < params.max_pulses)
         wlen = r["flen"] + 1
         at_fh = r["fsk_state"] == FSK_FH
@@ -734,7 +736,9 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         alp1, blp = baseband.fm_coeffs(params.sample_rate, params.fm_low_pass,
                                        params.fsk_minmax)
     else:
-        phi = jnp.zeros_like(am_raw)
+        # FM disabled: the detector sees the raw envelope (union-alias
+        # behavior of the reference's buf.temp/buf.fm)
+        phi = am_raw
         alp1, blp = 0, 0
 
     # per-call resets (ref src/pulse_detect.c:283 and :291)
@@ -816,7 +820,7 @@ def _flush(params: DetectorParams, r, N):
     wrap_p = jnp.zeros_like(st)
     wrap_g = jnp.zeros_like(st)
     fsk_final = r["fsk_num"]
-    if not params.fsk_minmax and params.enable_fm:
+    if not params.fsk_minmax:
         can = fsk_pub & (r["fsk_num"] < params.max_pulses)
         wlen = r["flen"] + 1
         at_fh = r["fsk_state"] == FSK_FH
