@@ -139,17 +139,52 @@ def main(argv=None):
     if not outputs:
         outputs = ["json"]
 
-    def emit(ev):
-        for fmt in outputs:
-            if fmt.startswith("json"):
-                s = event_to_jsons(ev) if fmt == "jsons" else event_to_json(ev)
-                print(s)
-            elif fmt.startswith("kv") or fmt.startswith("log"):
+    closers = []
+    for spec in outputs:
+        fmt, _, arg = spec.partition(":")
+        if fmt in ("json", "jsons"):
+            compact = fmt == "jsons"
+            def emit_json(ev, _c=compact):
+                print(event_to_jsons(ev) if _c else event_to_json(ev),
+                      flush=True)
+            rx.sinks.append(emit_json)
+        elif fmt in ("kv", "log"):
+            def emit_kv(ev):
                 print(event_to_kv(ev))
-                print("")
-            elif fmt.startswith("null"):
-                pass
-    rx.sinks.append(emit)
+                print("", flush=True)
+            rx.sinks.append(emit_kv)
+        elif fmt == "csv":
+            from .output.sinks import CsvSink, determine_csv_fields
+            rx.sinks.append(CsvSink(determine_csv_fields(rx.registry.active)))
+        elif fmt == "syslog":
+            from .output.network import SyslogSink
+            host, _, port = arg.partition(":")
+            rx.sinks.append(SyslogSink(host or "localhost",
+                                       int(port or 514)))
+        elif fmt == "trigger":
+            from .output.network import TriggerSink
+            rx.sinks.append(TriggerSink(arg or "/dev/stdout"))
+        elif fmt in ("mqtt", "mqtts"):
+            from .output.network import MqttSink
+            host, _, rest = arg.partition(":")
+            port, _, _opts = rest.partition(",")
+            sink = MqttSink(host or "localhost", int(port or 1883))
+            rx.sinks.append(sink)
+            closers.append(sink.close)
+        elif fmt == "influx":
+            from .output.network import InfluxSink
+            rx.sinks.append(InfluxSink(arg) if arg else InfluxSink())
+        elif fmt == "http":
+            from .output.http_server import HttpServerSink
+            host, _, port = arg.partition(":")
+            sink = HttpServerSink(rx, host or "0.0.0.0", int(port or 8433))
+            rx.sinks.append(sink)
+            closers.append(sink.close)
+        elif fmt == "null":
+            pass
+        else:
+            print(f"unknown output format: {fmt}", file=sys.stderr)
+            return 2
 
     n_events = 0
     for code in test_codes:
