@@ -247,6 +247,38 @@ class RtlTpu:
                 self.registry.run_ook_demods(pd, cb)
         return self.events[start:]
 
+    def run_live(self, device: str = "rtl_tcp:localhost:1234",
+                 max_blocks: Optional[int] = None,
+                 block_samples: int = DEFAULT_BUF_SAMPLES) -> int:
+        """Live receive loop over rtl_tcp (the TPU analogue of
+        start_sdr + acquire loop, ref src/rtl_433.c:1284, src/sdr.c:1718).
+
+        Returns the number of events decoded. `max_blocks` bounds the run
+        (None = until the server closes or `stop_live()` is called).
+        """
+        from .io.rtltcp import RtlTcpClient
+        spec = device.split(":")
+        assert spec[0] == "rtl_tcp", f"unsupported device: {device}"
+        host = spec[1] if len(spec) > 1 and spec[1] else "localhost"
+        port = int(spec[2]) if len(spec) > 2 else 1234
+        self._live = RtlTcpClient(host, port, block_samples=block_samples)
+        self._live.connect()
+        self._live.set_sample_rate(self.sample_rate)
+        self._live.set_center_freq(int(self.center_frequency))
+        start = len(self.events)
+        if self.report_time == "off":
+            self.report_time = "iso"
+
+        def on_block(iq):
+            self.push_block(iq)
+
+        self._live.run(on_block, max_blocks=max_blocks)
+        return len(self.events) - start
+
+    def stop_live(self):
+        if getattr(self, "_live", None):
+            self._live.stop()
+
     def decode_test_string(self, code: str) -> List[Event]:
         """-y equivalent (ref src/rtl_433.c:1576-1685): RfRaw pulse strings
         run the demods; {n}hex codes feed every decoder directly."""

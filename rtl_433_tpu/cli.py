@@ -54,6 +54,9 @@ def main(argv=None):
     verbosity = 0
     analyze = False
 
+    device = None
+    max_samples = None
+
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -66,7 +69,11 @@ def main(argv=None):
                 sys.exit(2)
             return argv[i]
 
-        if a == "-r":
+        if a == "-d":
+            device = val()
+        elif a == "-n":
+            max_samples = int(_metric(val()))
+        elif a == "-r":
             in_files.append(val())
         elif a == "-y":
             test_codes.append(val())
@@ -198,6 +205,27 @@ def main(argv=None):
             return 2
         n_events += len(evs)
 
+    if device is not None:
+        if not device.startswith("rtl_tcp"):
+            print(f"unsupported device: {device} (rtl_tcp:host:port only)",
+                  file=sys.stderr)
+            return 2
+        max_blocks = None
+        if max_samples is not None:
+            from .api import DEFAULT_BUF_SAMPLES
+            max_blocks = max(1, max_samples // DEFAULT_BUF_SAMPLES)
+        try:
+            rx.run_live(device, max_blocks=max_blocks)
+        except (ConnectionError, OSError) as e:
+            print(f"error: cannot open SDR: {e}", file=sys.stderr)
+            return 2
+        finally:
+            for close in closers:
+                close()
+        return 0
+
+    for close in closers:
+        close()
     if test_codes and n_events == 0:
         return 1
     return 0

@@ -1,0 +1,112 @@
+"""Live-path e2e over a fake rtl_tcp server (modeled on the reference's
+tests/rtl_tcp_serve.py + http-rtltcp-test.sh, SURVEY.md §4.2)."""
+
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from rtl_433_tpu.api import RtlTpu
+from rtl_433_tpu.io.rtltcp import RtlTcpClient, RtlTcpServer
+
+from synth import synth_ook, ppm_pulses
+
+
+class FakeRtlTcp(threading.Thread):
+    """Serves the rtl_tcp header, drains commands, streams one signal."""
+
+    def __init__(self, iq_blocks):
+        super().__init__(daemon=True)
+        import socket
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.iq_blocks = iq_blocks
+        self.commands = []
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+
+        def drain():
+            try:
+                while True:
+                    buf = b""
+                    while len(buf) < 5:
+                        chunk = conn.recv(5 - len(buf))
+                        if not chunk:
+                            return
+                        buf += chunk
+                    self.commands.append(struct.unpack(">BI", buf))
+            except OSError:
+                pass
+
+        drainer = threading.Thread(target=drain, daemon=True)
+        drainer.start()
+        try:
+            import socket as _socket
+            for blk in self.iq_blocks:
+                conn.sendall(np.ascontiguousarray(blk, np.uint8).tobytes())
+            conn.shutdown(_socket.SHUT_WR)
+            drainer.join(timeout=10)
+            conn.close()
+        except OSError:
+            pass
+
+
+def _nexus_signal(n=131072):
+    """One block of noise with an embedded Nexus PPM burst."""
+    word = (0x4C << 28) | (1 << 27) | (215 << 12) | (0xF << 8) | 45
+    bits = [(word >> (35 - i)) & 1 for i in range(36)]
+    pulses = []
+    for _ in range(4):
+        pulses += [(500, 2000 if b else 1000) for b in bits]
+        pulses.append((500, 4000))
+    sig = synth_ook(pulses, rate=250_000)
+    rng = np.random.default_rng(1)
+    iq = rng.integers(123, 133, size=(n, 2), dtype=np.uint8)
+    iq[2000:2000 + sig.shape[0]] = sig[:max(0, n - 2000)]
+    return iq
+
+
+def test_live_rtl_tcp_decode():
+    blocks = [_nexus_signal(), np.full((131072, 2), 128, np.uint8)]
+    srv = FakeRtlTcp(blocks)
+    srv.start()
+    rx = RtlTpu(register_all=False)
+    rx.registry.register(19)  # nexus
+    n = rx.run_live(f"rtl_tcp:127.0.0.1:{srv.port}", max_blocks=2)
+    assert n >= 1
+    ev = rx.events[-1]
+    assert ev.get("model") == "Nexus-TH"
+    assert ev.get("id") == 0x4C
+    assert ev.get("temperature_C") == pytest.approx(21.5)
+    # the client should have sent rate + frequency commands
+    import time
+    time.sleep(0.2)
+    cmds = {c for c, _ in srv.commands}
+    assert 0x01 in cmds and 0x02 in cmds
+
+
+def test_rtltcp_passthrough_server():
+    srv = RtlTcpServer("127.0.0.1", 0)
+    try:
+        cli = RtlTcpClient("127.0.0.1", srv.port, block_samples=256)
+        cli.connect()
+        assert cli.tuner_type == 5
+        cli.set_center_freq(433920000)
+        got = []
+        import time
+        for _ in range(50):
+            if srv.clients:
+                break
+            time.sleep(0.05)
+        blk = np.arange(512, dtype=np.uint8).reshape(256, 2)
+        srv.broadcast(blk)
+        cli.run(lambda iq: got.append(iq), max_blocks=1)
+        assert len(got) == 1
+        np.testing.assert_array_equal(got[0], blk)
+    finally:
+        srv.close()
