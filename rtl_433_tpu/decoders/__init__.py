@@ -14,3 +14,4 @@ from . import acurite  # noqa: F401
 from . import fineoffset  # noqa: F401
 from . import lacrosse  # noqa: F401
 from . import oregon  # noqa: F401
+from . import bresser  # noqa: F401

@@ -88,6 +88,11 @@ VECTORS = [
     (12, "{104}00000005f04285a0a840a206c0", 1),                  # THGR810 v3
     (50, "{32}a2a8403a", 1),                                     # Oregon-v1
     (54, "{38}d51435c168 {38}d51435c168", 1),                    # SL109H
+    # batch 7: bresser
+    (52, " ".join(["{40}bde99ad215"] * 3), 1),                   # 3CH
+    (119, "{264}aaaaaaaaaa2dd4ffbde7cefdaeefdecfabedcfff00421831025110213054123000", 1),
+    (172, "{176}aaaa2dd48bb9188002c318ff88ff3308118481fff0c4", 1),
+    (173, "{240}aaaaaa2dd4561c9ac8b2a0baa8eadfaab89aaa8bfaefaabf8eabeaaaaaaa", 1),
 ]
 
 
