@@ -15,3 +15,4 @@ from . import fineoffset  # noqa: F401
 from . import lacrosse  # noqa: F401
 from . import oregon  # noqa: F401
 from . import bresser  # noqa: F401
+from . import tpms  # noqa: F401

@@ -93,6 +93,14 @@ VECTORS = [
     (119, "{264}aaaaaaaaaa2dd4ffbde7cefdaeefdecfabedcfff00421831025110213054123000", 1),
     (172, "{176}aaaa2dd48bb9188002c318ff88ff3308118481fff0c4", 1),
     (173, "{240}aaaaaa2dd4561c9ac8b2a0baa8eadfaab89aaa8bfaefaabf8eabeaaaaaaa", 1),
+    # batch 8: tpms
+    (82, "{178}5556595656595a6566696a955a55a595659a6666a9a9c", 1),  # citroen
+    (90, "{178}555655a595555a595956655a6966aaaaaaaa59aaffffc", 1),  # renault
+    (89, "{178}555656595a6566696a959555656a65665955ffffffffc", 1),  # ford
+    (60, "{68}00341234567644634", 1),                              # schrader
+    (95, "{120}0000000000112233441234566450fa", 1),                # EG53MA4
+    (168, "{110}f5555555ea95965699599a659a58", 1),                 # SMD3MA4
+    (59, "{72}00007fb7d3f57dd9c3", 1),                             # steelmate
 ]
 
 
