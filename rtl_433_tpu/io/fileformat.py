@@ -104,21 +104,21 @@ def load_iq(path: str, fmt: str) -> np.ndarray:
     CS16 is scaled to CU8 losing depth (the reference instead runs a CS16
     pipeline; ours converts for now and documents the difference).
     """
+    from . import native
     fmt = fmt.lower()
     if fmt == "cu8":
         raw = np.fromfile(path, np.uint8)
         return raw[: len(raw) // 2 * 2].reshape(-1, 2)
     if fmt == "cs8":
         raw = np.fromfile(path, np.int8)
-        return (raw.astype(np.int16) + 128).astype(np.uint8)[
-            : len(raw) // 2 * 2].reshape(-1, 2)
+        return native.cs8_to_cu8(raw)[: len(raw) // 2 * 2].reshape(-1, 2)
     if fmt == "cs16":
         raw = np.fromfile(path, np.int16)
         cu8 = ((raw.astype(np.int32) >> 8) + 128).clip(0, 255).astype(np.uint8)
         return cu8[: len(cu8) // 2 * 2].reshape(-1, 2)
     if fmt == "cf32":
         raw = np.fromfile(path, np.float32)
-        s16 = np.clip(raw * 32768.0, -32768, 32767).astype(np.int16)
+        s16 = native.cf32_to_cs16(raw)
         cu8 = ((s16.astype(np.int32) >> 8) + 128).clip(0, 255).astype(np.uint8)
         return cu8[: len(cu8) // 2 * 2].reshape(-1, 2)
     raise ValueError(f"unsupported sample format: {fmt}")
