@@ -151,3 +151,41 @@ def test_decoder_matches_reference(rtl433, num, code, min_events):
         f"event count mismatch: ours={ours} ref={ref}")
     for a, b in zip(ours, ref):
         assert _normalize(a) == _normalize(b)
+
+
+def _mutate(code: str, bitpos: int) -> str:
+    """Flip one data bit inside the first {n}hex group it lands in."""
+    out = []
+    for part in code.split(" "):
+        if not part.startswith("{") or bitpos < 0:
+            out.append(part)
+            continue
+        n = int(part[1:part.index("}")])
+        if bitpos >= n:
+            bitpos -= n
+            out.append(part)
+            continue
+        hexpart = part[part.index("}") + 1:]
+        ndig = len(hexpart)
+        v = int(hexpart, 16) if hexpart else 0
+        v ^= 1 << (ndig * 4 - 1 - bitpos)
+        out.append("{%d}%0*x" % (n, ndig, v))
+        bitpos = -1
+    return " ".join(out)
+
+
+@pytest.mark.parametrize(
+    "num,code,min_events", VECTORS,
+    ids=[f"{i}-p{v[0]}" for i, v in enumerate(VECTORS)])
+def test_decoder_mutation_fuzz(rtl433, num, code, min_events):
+    """Bit-flip mutations of known-good vectors must produce identical
+    accept/reject decisions and identical events on both implementations."""
+    import random
+    rng = random.Random(num * 1000 + len(code))
+    total_bits = sum(int(p[1:p.index("}")]) for p in code.split(" ")
+                     if p.startswith("{"))
+    for _ in range(12):
+        mut = _mutate(code, rng.randrange(total_bits))
+        ref = [_normalize(e) for e in _ref_events(num, mut)]
+        ours = [_normalize(e) for e in _our_events(num, mut)]
+        assert ours == ref, f"mutated code {mut}: ours={ours} ref={ref}"
