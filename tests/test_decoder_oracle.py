@@ -101,6 +101,27 @@ VECTORS = [
     (95, "{120}0000000000112233441234566450fa", 1),                # EG53MA4
     (168, "{110}f5555555ea95965699599a659a58", 1),                 # SMD3MA4
     (59, "{72}00007fb7d3f57dd9c3", 1),                             # steelmate
+    # batch 9: misc A
+    (204, "{80}fc0ca9a6a59a56555a69", 1),                          # jasco
+    (92, "{137}2f84c208a000be1308228002f84c208a000", 1),           # ft004b
+    (236, "{32}f15521f0", 1),                                      # gasmate
+    (217, " ".join(["{72}555a75bd3ffffedc00"] * 3), 1),            # emos rain
+    (109, "{1}0 {49}512b70101a160", 1),                            # wt1024
+    (230, " ".join(["{42}4210d75a0a8"] * 4), 1),                   # vauno
+    (332, "{21}ad2888", 1),                                        # tr_502msv
+    (39, "{48}ff328015ff2f", 1),                                   # wg_pb12v1
+    (121, "{48}ff0137410079", 1),                                  # opus_xt300
+    (182, "{88}aa2dd4123456042950aa29", 1),                        # marbella
+    (339, " ".join(["{30}49214008"] * 3), 1),                      # florabest
+    (222, "{41}da7bba9fa38 {41}da7bba9fa38", 1),                   # rubicson_pool
+    (158, "{48}5abdff28d2f0 {48}5abdff28d2f0", 1),                 # sharp_spc775
+    (141, "{1}0 {40}bdd2ef2897", 1),                               # hg02832
+    (125, "{72}fa428848c0aed200c4", 1),                            # ts_ft002
+    (305, "{25}edcb540", 1),                                       # audiovox
+    (331, " ".join(["{24}ff2828"] * 3), 1),                        # grill
+    (80, "{232}ab10223344550678900000000000000000000000000000002a00006bcd", 1),
+    (229, "{1}0 {1}0 {42}00000000000 {40}42e0665452 {1}0 {1}0", 1),  # wec2103
+    (181, " ".join(["{96}65595555555559566655aaaa"] * 4), 1),      # abmt
 ]
 
 
