@@ -76,10 +76,17 @@ class RtlTpu:
             self.registry.register_all()
         self.events: List[Event] = []
         self.sinks = []
+        self.dumpers = []       # io.grab.Dumper list (-w)
+        self.samp_grab = None   # io.grab.SampGrab (-S)
+        self.taggers = []       # output.network.DataTagger list (-K)
+        self._current_file = None
         self._state = None
         self._params = None
         self._jit = None
         self._stream_pos = 0
+        # per-decoder stats live on RDevice (account_event equivalent)
+        self.frames_count = 0
+        self.frames_events = 0
 
     # -- config ---------------------------------------------------------------
 
@@ -142,12 +149,19 @@ class RtlTpu:
             iq = np.pad(iq, ((0, 0), (0, pad), (0, 0)), constant_values=128)
         # full blocks take the unmasked streaming hot path (n_valid=None)
         n_valid = None if pad == 0 else jnp.int32(N)
+        if self.samp_grab is not None:
+            self.samp_grab.push(iq[0, :N] if iq.ndim == 3 else iq[:N])
+        for dumper in self.dumpers:
+            dumper.push(iq[0, :N] if iq.ndim == 3 else iq[:N])
         self._state, avg_db = self._jit(self._state, jnp.asarray(iq),
                                         n_valid, flush=flush)
         pkgs, self._state = take_packages(self._state)
         events = 0
+        self.frames_count += 1
         for pkg in pkgs:
             events += self._handle_package(pkg, N)
+        if events:
+            self.frames_events += 1
         self._stream_pos += N
         return events
 
@@ -180,6 +194,8 @@ class RtlTpu:
         """data_acquired_handler equivalent (ref src/r_api.c:632-839)."""
         if self.convert != "native":
             ev = convert_units(ev, self.convert)
+        for tagger in self.taggers:
+            ev = tagger(ev)
         if self.report_protocol and dev.num:
             ev.prepend(("protocol", dev.num, "Protocol"))
         if self.report_meta:
@@ -216,17 +232,29 @@ class RtlTpu:
         """-r equivalent: replay a sample file (ref src/rtl_433.c:1688-1866)."""
         if self.report_time == "iso":
             self.report_time = "samples"  # file mode defaults to @position
-        info = parse_filename(path)
-        if info.sample_rate:
-            self.sample_rate = info.sample_rate
-            self._invalidate()
-        if info.center_frequency:
-            self.center_frequency = info.center_frequency
-            self._invalidate()
-        fmt = info.format or "cu8"
-        if fmt == "ook":
-            return self.decode_ook_file(info.path)
-        iq = load_iq(info.path, fmt)
+        self._current_file = path
+        if path.lower().endswith(".sigmf"):
+            from .io import sigmf
+            info_s = sigmf.read(path)
+            if info_s.sample_rate:
+                self.sample_rate = info_s.sample_rate
+                self._invalidate()
+            if info_s.frequency:
+                self.center_frequency = float(info_s.frequency)
+                self._invalidate()
+            iq = info_s.data
+        else:
+            info = parse_filename(path)
+            if info.sample_rate:
+                self.sample_rate = info.sample_rate
+                self._invalidate()
+            if info.center_frequency:
+                self.center_frequency = info.center_frequency
+                self._invalidate()
+            fmt = info.format or "cu8"
+            if fmt == "ook":
+                return self.decode_ook_file(info.path)
+            iq = load_iq(info.path, fmt)
         start = len(self.events)
         n = iq.shape[0]
         for pos in range(0, max(n, 1), DEFAULT_BUF_SAMPLES):
@@ -278,6 +306,33 @@ class RtlTpu:
     def stop_live(self):
         if getattr(self, "_live", None):
             self._live.stop()
+
+    def stats_report(self) -> Event:
+        """-M stats interval report (ref create_report_data,
+        src/r_api.c:843-899): per-decoder event/ok/fail counters."""
+        stats = []
+        for dev in self.registry.active:
+            if dev.decode_events == 0:
+                continue
+            fails = [(f"abort_{k}" if k.startswith(("length", "early"))
+                      else k, v) for k, v in dev.decode_fails.items()]
+            stats.append(Event.make(
+                ("device", dev.num),
+                ("name", dev.name),
+                ("events", dev.decode_events),
+                ("ok", dev.decode_ok),
+                ("messages", dev.decode_messages),
+                *[(k, v) for k, v in fails],
+            ))
+        return Event.make(
+            ("time", _time.strftime("%Y-%m-%d %H:%M:%S")),
+            ("enabled", len(self.registry.active)),
+            ("since", 0),
+            ("frames", Event.make(
+                ("count", self.frames_count),
+                ("events", self.frames_events))),
+            ("stats", stats),
+        )
 
     def decode_test_string(self, code: str) -> List[Event]:
         """-y equivalent (ref src/rtl_433.c:1576-1685): RfRaw pulse strings

@@ -56,6 +56,25 @@ def main(argv=None):
 
     device = None
     max_samples = None
+    dumper_specs = []
+    grab_mode = None
+    tag_specs = []
+
+    # conf files: explicit -c plus default search (ref src/rtl_433.c:466-490)
+    from .confparse import find_default_conf, parse_conf_file
+    expanded = []
+    default_conf = find_default_conf()
+    if default_conf:
+        expanded += parse_conf_file(default_conf)
+    j = 0
+    while j < len(argv):
+        if argv[j] == "-c" and j + 1 < len(argv):
+            expanded += parse_conf_file(argv[j + 1])
+            j += 2
+        else:
+            expanded.append(argv[j])
+            j += 1
+    argv = expanded
 
     i = 0
     while i < len(argv):
@@ -73,6 +92,15 @@ def main(argv=None):
             device = val()
         elif a == "-n":
             max_samples = int(_metric(val()))
+        elif a in ("-w", "-W"):
+            dumper_specs.append(val())
+        elif a == "-S":
+            grab_mode = val()
+        elif a == "-K":
+            tag_specs.append(val())
+        elif a in ("-G", "-b", "-l", "-p", "-g", "-t", "-H", "-T", "-E",
+                   "-I", "-z", "-x", "-a"):
+            val()  # accepted for CLI compat; no-op or handled elsewhere
         elif a == "-r":
             in_files.append(val())
         elif a == "-y":
@@ -142,6 +170,17 @@ def main(argv=None):
     from .decoders.flex import flex_create_device
     for spec in flex_specs:
         rx.registry.add_device(flex_create_device(spec))
+
+    for spec in dumper_specs:
+        from .io.grab import Dumper
+        rx.dumpers.append(Dumper(spec, rate))
+    if grab_mode is not None and grab_mode != "none":
+        from .io.grab import SampGrab
+        rx.samp_grab = SampGrab(rate, freq, mode=grab_mode or "all")
+    for spec in tag_specs:
+        from .output.network import DataTagger
+        rx.taggers.append(DataTagger(
+            spec, current_file_fn=lambda: rx._current_file))
 
     if not outputs:
         outputs = ["json"]
@@ -224,8 +263,13 @@ def main(argv=None):
                 close()
         return 0
 
+    if "stats" in meta:
+        print(event_to_json(rx.stats_report()), flush=True)
+
     for close in closers:
         close()
+    for d in rx.dumpers:
+        d.close()
     if test_codes and n_events == 0:
         return 1
     return 0

@@ -104,21 +104,27 @@ def load_iq(path: str, fmt: str) -> np.ndarray:
     CS16 is scaled to CU8 losing depth (the reference instead runs a CS16
     pipeline; ours converts for now and documents the difference).
     """
+    with open(path, "rb") as f:
+        return load_iq_bytes(f.read(), fmt)
+
+
+def load_iq_bytes(raw: bytes, fmt: str) -> np.ndarray:
+    """Convert raw sample bytes to CU8 [N, 2] (see load_iq)."""
     from . import native
     fmt = fmt.lower()
     if fmt == "cu8":
-        raw = np.fromfile(path, np.uint8)
-        return raw[: len(raw) // 2 * 2].reshape(-1, 2)
+        arr = np.frombuffer(raw, np.uint8)
+        return arr[: len(arr) // 2 * 2].reshape(-1, 2)
     if fmt == "cs8":
-        raw = np.fromfile(path, np.int8)
-        return native.cs8_to_cu8(raw)[: len(raw) // 2 * 2].reshape(-1, 2)
+        arr = np.frombuffer(raw, np.int8)
+        return native.cs8_to_cu8(arr)[: len(arr) // 2 * 2].reshape(-1, 2)
     if fmt == "cs16":
-        raw = np.fromfile(path, np.int16)
-        cu8 = ((raw.astype(np.int32) >> 8) + 128).clip(0, 255).astype(np.uint8)
+        arr = np.frombuffer(raw, np.int16)
+        cu8 = ((arr.astype(np.int32) >> 8) + 128).clip(0, 255).astype(np.uint8)
         return cu8[: len(cu8) // 2 * 2].reshape(-1, 2)
     if fmt == "cf32":
-        raw = np.fromfile(path, np.float32)
-        s16 = native.cf32_to_cs16(raw)
+        arr = np.frombuffer(raw, np.float32)
+        s16 = native.cf32_to_cs16(arr)
         cu8 = ((s16.astype(np.int32) >> 8) + 128).clip(0, 255).astype(np.uint8)
         return cu8[: len(cu8) // 2 * 2].reshape(-1, 2)
     raise ValueError(f"unsupported sample format: {fmt}")
