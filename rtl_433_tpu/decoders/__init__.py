@@ -17,3 +17,4 @@ from . import oregon  # noqa: F401
 from . import bresser  # noqa: F401
 from . import tpms  # noqa: F401
 from . import misc_a  # noqa: F401
+from . import misc_b  # noqa: F401

@@ -18,6 +18,10 @@ def _ints(b):
     return [int(x) for x in b]
 
 
+def _s32(v):
+    return ((int(v) & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+
+
 @decoder("bresser_3ch")
 def bresser_3ch(bits, dev):
     """Bresser-3CH (ref src/devices/bresser_3ch.c:37-93): inverted 40-bit
@@ -129,7 +133,7 @@ def bresser_6in1(bits, dev):
         return DECODE_FAIL_MIC
     if (sum(msg[2:18]) & 0xFF) != 0xFF:
         return DECODE_FAIL_MIC
-    id_ = (msg[2] << 24) | (msg[3] << 16) | (msg[4] << 8) | msg[5]
+    id_ = _s32((msg[2] << 24) | (msg[3] << 16) | (msg[4] << 8) | msg[5])
     s_type = msg[6] >> 4
     startup = (msg[6] >> 3) & 1
     chan = msg[6] & 0x7

@@ -24,6 +24,10 @@ def _s16(v):
     return ((int(v) & 0xFFFF) ^ 0x8000) - 0x8000
 
 
+def _s32(v):
+    return ((int(v) & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+
+
 @decoder("jasco")
 def jasco(bits, dev):
     """Jasco-Security (ref src/devices/jasco.c): fc0c preamble, Manchester,
@@ -140,7 +144,7 @@ def ibis_beacon(bits, dev):
                                                 0x8005, 0x0000):
         return DECODE_FAIL_MIC
     id_ = ((msg[5] & 0x0F) << 12) | (msg[6] << 4) | ((msg[7] & 0xF0) >> 4)
-    counter = (msg[20] << 24) | (msg[21] << 16) | (msg[22] << 8) | msg[23]
+    counter = _s32((msg[20] << 24) | (msg[21] << 16) | (msg[22] << 8) | msg[23])
     return [Event.make(
         ("model", "IBIS-Beacon"),
         ("id", id_, "Vehicle No."),

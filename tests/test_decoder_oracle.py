@@ -122,6 +122,25 @@ VECTORS = [
     (80, "{232}ab10223344550678900000000000000000000000000000002a00006bcd", 1),
     (229, "{1}0 {1}0 {42}00000000000 {40}42e0665452 {1}0 {1}0", 1),  # wec2103
     (181, " ".join(["{96}65595555555559566655aaaa"] * 4), 1),      # abmt
+    # batch 10: misc B
+    (165, "{40}bded34d2b5 {40}bded34d2b5", 1),                     # tfa 303221
+    (341, "{40}c02e11f473 {40}c02e11f473", 1),                     # esun
+    (136, "{120}aa2dd41234567841440123c400641b", 1),               # esic
+    (284, " ".join(["{64}429866f2d0000821"] * 8), 1),              # baldr_therm
+    (114, " ".join(["{48}420d71310000"] * 3), 1),                  # maverick_et73
+    (196, "{1}0 {74}aaeeaaaaeaaebaeeba8", 1),                      # atech
+    (325, " ".join(["{32}4404bf07"] * 5), 1),                      # thermor
+    (209, "{248}930b51de150112345678010203aabbccdd1111111111111111112e10000000", 1),
+    (255, "{104}feb10012345678012345600f00", 1),                   # mueller
+    (127, "{52}f5342012bff32", 1),                                 # ecowitt
+    (132, " ".join(["{108}555666aa9a69695a659a9a6a59a"] * 2), 1),  # tfa_303196
+    (43, "{140}e2a69a966a665a55aaaaaa99aa5a6995580", 1),           # oil_watchman
+    (36, "{64}00341250100005ab", 1),                               # efergy_e2
+    (220, "{104}aaaaaaaad391d3910962bc1234", 1),                   # maverick_xr30
+    (251, "{120}aa2dd4551012340401238095000000", 1),               # wh55
+    (206, "{60}a2dd4524001230c", 1),                               # tx34
+    (17, "{24}ffff89", 1),                                         # cardin
+    (360, " ".join(["{179}99669565a5599969a95655555555a9a559555555a6560"] * 4), 1),
 ]
 
 
@@ -149,8 +168,9 @@ def _our_events(num, code):
 def _normalize(ev):
     ev = dict(ev)
     ev.pop("time", None)
-    # normalize float formatting differences
-    return {k: (round(v, 4) if isinstance(v, float) else v)
+    # the reference -F json prints doubles with %.3f; compare at that
+    # granularity
+    return {k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in ev.items()}
 
 
