@@ -141,6 +141,21 @@ VECTORS = [
     (206, "{60}a2dd4524001230c", 1),                               # tx34
     (17, "{24}ffff89", 1),                                         # cardin
     (360, " ".join(["{179}99669565a5599969a95655555555a9a559555555a6560"] * 4), 1),
+    # batch 11: misc C (car remotes, TPMS, meters)
+    (313, "{113}ff21e212345678000123abcdef5e0", 1),               # gm remote
+    (303, "{48}b7d395e1fbd3", 1),                                 # chrysler
+    (314, "{120}aa60017856341201002a1122334467", 1),              # siemens
+    (312, "{88}55541234567880a0500078", 1),                       # mic6sc2
+    (315, "{76}5512345678e0e001230", 1),                          # alps
+    (203, "{182}33332ab52acb54b4d4cd54cd54aab555554aaaab2d2ac0", 1),  # porsche
+    (248, "{114}f5555555e5aaa596569959a555680", 1),               # nissan
+    (180, "{178}a6a65a5a56595a656669555666559669555555aaa5a50", 1),  # jansite
+    (321, "{72}7ff811a2b3d10258d0", 1),                           # schrader moto
+    (376, "{64}aaaa123445020a32", 1),                             # mcpower
+    (239, "{104}edcb19ff9bcdfedca0ffbd78ff", 1),                  # revolt
+    (149, "{96}550202140123451234567700", 1),                     # ert_scm
+    (135, "{40}ffa56fde35", 1),                                   # philips 7010
+    (333, "{268}00000000000000000000001528000000000000000000000a9400000000000000000", 1),
 ]
 
 
