@@ -156,6 +156,16 @@ VECTORS = [
     (149, "{96}550202140123451234567700", 1),                     # ert_scm
     (135, "{40}ffa56fde35", 1),                                   # philips 7010
     (333, "{268}00000000000000000000001528000000000000000000000a9400000000000000000", 1),
+    # batch 12: security / home (Honeywell, DSC, X10, Interlogix, Govee)
+    (70, "{160}5555566aa9a6a59a996aaa6a656a96aaaaaaaa00", 1),        # honeywell
+    (23, "{48}f43894d2ad9c", 1),                                     # dsc_security
+    (148, "{48}f43894d2ad9c", 1),                                    # dsc ws4945
+    (22, "{0} {32}20df00ff", 1),                                     # X10_RF
+    (100, "{60}01482ca50400000", 1),                                 # interlogix
+    (192, "{48}edcbf404ff48 {48}edcbf404ff48 {48}edcbf404ff48", 1),  # govee
+    (231, "{48}edcbfdfe6806 {48}edcbfdfe6806 {48}edcbfdfe6806", 1),  # govee h5054
+    (115, " ".join(["{48}edcbafdfffbb"] * 4), 1),                    # honeywell_wdb
+    (116, " ".join(["{48}edcbafdfffbb"] * 4), 1),                    # wdb fsk
 ]
 
 
