@@ -20,3 +20,4 @@ from . import misc_a  # noqa: F401
 from . import misc_b  # noqa: F401
 from . import misc_c  # noqa: F401
 from . import security  # noqa: F401
+from . import garage  # noqa: F401

@@ -166,13 +166,43 @@ VECTORS = [
     (231, "{48}edcbfdfe6806 {48}edcbfdfe6806 {48}edcbfdfe6806", 1),  # govee h5054
     (115, " ".join(["{48}edcbafdfffbb"] * 4), 1),                    # honeywell_wdb
     (116, " ".join(["{48}edcbafdfffbb"] * 4), 1),                    # wdb fsk
+    # batch 13: garage/gate/entry remotes and alarms
+    (131, "{12}fff {66}12345678abcdef158", 1),                        # hcs200
+    (218, "{12}fff {66}12345678abcdef158", 1),                        # hcs200 fsk
+    (199, "{144}904100824020820824020820904100900900", 1),            # megacode
+    (29, "{25}edcba78", 1),                                           # chuango
+    (99, "{1}0 {41}5a55847b770", 1),                                  # x10_sec
+    (167, "{137}f0f0ff4ccccacb4acacccd32b2cacb2cac8", 1),             # somfy_rts
+    (169, "{52}e7a760b94372e {0}", 1),                                # nice_flor_s
+    (151, "{37}b7a3b84648 {37}b7a3b84648", 1),                        # visonic
+    (178, "{84}111111111117737731377|{84}711137111131773311113", 1),  # secplus v1
+    (164, "{110}aaaa956aa99a6aa6aaa9aaa66a98"
+          " {110}aaaa9566a99a6aa9a96999a5a668", 1),                   # secplus v2
+    (179, "{208}43617669565659595a5a65655955a6aa99aa99999a9aa5a5a6a6", 1),
+    (368, "{120}aaaaaad315274201020304050625cc", 1),                  # cavius door
+    (128, "{58}1ffa95555554ab4", 1),                                  # directv
 ]
 
 
 def _ref_events(num, code):
-    out = subprocess.run(
-        [BIN, "-R", str(num), "-y", code, "-F", "json"],
-        capture_output=True, text=True, timeout=30)
+    """Run the reference on a test vector. A ``|`` in the code separates
+    parts decoded by successive calls (one -y line each, via ``-y @file``) —
+    used for stateful two-packet protocols like Security+."""
+    if "|" in code:
+        import tempfile
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+            f.write("\n".join(code.split("|")) + "\n")
+            path = f.name
+        try:
+            out = subprocess.run(
+                [BIN, "-R", str(num), "-y", "@" + path, "-F", "json"],
+                capture_output=True, text=True, timeout=30)
+        finally:
+            os.unlink(path)
+    else:
+        out = subprocess.run(
+            [BIN, "-R", str(num), "-y", code, "-F", "json"],
+            capture_output=True, text=True, timeout=30)
     evs = []
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -184,7 +214,9 @@ def _ref_events(num, code):
 def _our_events(num, code):
     rx = RtlTpu(register_all=False, report_time="off")
     rx.registry.register(num)
-    evs = rx.decode_test_string(code)
+    evs = []
+    for part in code.split("|"):
+        evs += rx.decode_test_string(part)
     return [json.loads(
         __import__("rtl_433_tpu.output.data_model", fromlist=["event_to_jsons"])
         .event_to_jsons(e)) for e in evs]
@@ -221,8 +253,9 @@ def test_decoder_matches_reference(rtl433, num, code, min_events):
 
 def _mutate(code: str, bitpos: int) -> str:
     """Flip one data bit inside the first {n}hex group it lands in."""
+    import re
     out = []
-    for part in code.split(" "):
+    for part in re.split(r"([ |])", code):
         if not part.startswith("{") or bitpos < 0:
             out.append(part)
             continue
@@ -237,7 +270,7 @@ def _mutate(code: str, bitpos: int) -> str:
         v ^= 1 << (ndig * 4 - 1 - bitpos)
         out.append("{%d}%0*x" % (n, ndig, v))
         bitpos = -1
-    return " ".join(out)
+    return "".join(out)
 
 
 @pytest.mark.parametrize(
@@ -248,7 +281,8 @@ def test_decoder_mutation_fuzz(rtl433, num, code, min_events):
     accept/reject decisions and identical events on both implementations."""
     import random
     rng = random.Random(num * 1000 + len(code))
-    total_bits = sum(int(p[1:p.index("}")]) for p in code.split(" ")
+    import re
+    total_bits = sum(int(p[1:p.index("}")]) for p in re.split(r"[ |]", code)
                      if p.startswith("{"))
     for _ in range(12):
         mut = _mutate(code, rng.randrange(total_bits))
