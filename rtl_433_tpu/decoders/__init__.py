@@ -21,3 +21,4 @@ from . import misc_b  # noqa: F401
 from . import misc_c  # noqa: F401
 from . import security  # noqa: F401
 from . import garage  # noqa: F401
+from . import weather  # noqa: F401

@@ -181,6 +181,19 @@ VECTORS = [
     (179, "{208}43617669565659595a5a65655955a6aa99aa99999a9aa5a5a6a6", 1),
     (368, "{120}aaaaaad315274201020304050625cc", 1),                  # cavius door
     (128, "{58}1ffa95555554ab4", 1),                                  # directv
+    # batch 14: classic weather stations
+    (20, "{56}01457723455028", 1),                                    # ambient f007th
+    (32, "{88}ffa12123500a14032124dd", 1),                            # wh1080 ook
+    (155, "{120}aaaa2dd4a12123500a14032124dd00", 1),                  # wh1080 fsk
+    (69, "{80}ff5f51934800001246aa", 1),                              # wh1050
+    (33, "{36}c13383b31", 1),                                         # wt450
+    (34, "{52}0901201550aab", 1),                                     # lacrossews
+    (71, "{104}55666aa66a6596a5a66a55a9a9", 1),                       # maverick
+    (31, "{36}e44b70730 {36}e44b70730", 1),                           # tfa twin plus
+    (37, " ".join(["{36}120045673"] * 3), 1),                         # kw9015b
+    (129, " ".join(["{36}770045012"] * 3), 1),                        # eurochron
+    (162, " ".join(["{36}9ab100d55"] * 4), 1),                        # thermopro tx2
+    (42, "{90}068ca3d0f539e465ff9823c", 1),                           # hideki ts04
 ]
 
 
