@@ -112,7 +112,10 @@ def main(argv=None):
         elif a == "-R":
             v = val()
             neg = v.startswith("-")
-            protocols.append((not neg, int(v.lstrip("-"))))
+            # -R <num>[:<arg>] passes a decoder argument (ref src/r_api.c
+            # register_protocol arg handling, e.g. blueline "-R 176:auto")
+            num, _, parg = v.lstrip("-").partition(":")
+            protocols.append((not neg, int(num), parg or None))
         elif a == "-f":
             freq = _metric(val())
         elif a == "-s":
@@ -151,18 +154,19 @@ def main(argv=None):
                 report_protocol="protocol" in meta,
                 report_time="iso" if ("time" in meta or in_files or test_codes)
                             else "off",
-                register_all=not any(num == 0 for en, num in protocols if en is False) )
+                register_all=not any(num == 0 for en, num, _ in protocols
+                                     if en is False) )
 
     # -R handling (ref src/rtl_433.c parse: -R 0 or first positive -R
     # disables the default registration)
     if protocols:
-        enables = [num for en, num in protocols if en and num > 0]
-        disables = [num for en, num in protocols if not en]
-        if enables or any(num == 0 for en, num in protocols):
+        enables = [(num, parg) for en, num, parg in protocols if en and num > 0]
+        disables = [num for en, num, _ in protocols if not en]
+        if enables or any(num == 0 for en, num, _ in protocols):
             rx.registry.active = []
-        for num in enables:
-            rx.registry.register(num)
-        if not enables and not any(num == 0 for en, num in protocols):
+        for num, parg in enables:
+            rx.registry.register(num, parg)
+        if not enables and not any(num == 0 for en, num, _ in protocols):
             rx.registry.register_all()
         for num in disables:
             rx.registry.unregister(num)

@@ -22,3 +22,4 @@ from . import misc_c  # noqa: F401
 from . import security  # noqa: F401
 from . import garage  # noqa: F401
 from . import weather  # noqa: F401
+from . import energy  # noqa: F401

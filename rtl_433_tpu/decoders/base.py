@@ -51,6 +51,7 @@ class RDevice:
     priority: int = 0
     disabled: int = 0
     fields: List[str] = field(default_factory=list)
+    arg: Optional[str] = None  # -R <num>:<arg> decoder argument
     decode_fn: Optional[Callable] = None
     ref_file: str = ""
     verbose: int = 0
@@ -129,10 +130,12 @@ class Registry:
             if dev is not None and dev.disabled <= max_disabled_level:
                 self.active.append(dev)
 
-    def register(self, num: int):
+    def register(self, num: int, arg: Optional[str] = None):
         dev = self.get(num)
         if dev is None:
             raise ValueError(f"protocol {num} is not available")
+        if arg is not None:
+            dev.arg = arg
         self.active.append(dev)
         return dev
 

@@ -194,6 +194,22 @@ VECTORS = [
     (129, " ".join(["{36}770045012"] * 3), 1),                        # eurochron
     (162, " ".join(["{36}9ab100d55"] * 4), 1),                        # thermopro tx2
     (42, "{90}068ca3d0f539e465ff9823c", 1),                           # hideki ts04
+    # batch 15: energy / utility meters
+    (44, "{173}333333316ea2aab2cad4aab2aaacaaab4b2aaaaaaaa8", 1),      # currentcost
+    (45, "{287}aaaaaa5ba40a34c8019dfe00000001ea01ae017017701770177017"
+         "701668240200719754", 1),                                    # emontx
+    (63, "{96}0012344000000000320f93dc", 1),                          # efergy opt
+    (117, "{176}aaaa8ca2f2173b5f839782a6aed2f61a3d89adfffa24", 1),    # esa
+    (154, "{128}16a31eab04115cdb00001ae349005d27", 1),                # scmplus
+    (334, "{48}55a501020300", 1),                                     # rfxmeter
+    (176, "{32}01bbcc69 {32}01bbcc69", 1),                            # blueline id
+    ("176:13124", "{32}01eac74c", 1),                                 # blueline gap
+    (160, "{736}16a31c5cc6040700ac129df6bc420516af2d07000041482608410500053004"
+          "0000000000000000000000000000000000000000000000000000000000000000"
+          "00000000000000000000000000000000000000000001dceabab3e30000", 1),                                 # ert_idm
+    (161, "{736}16a31c5cc6040700ac129df6bc420516af2d07000041482608410500053004"
+          "0000000000000000000000000000000000000000000000000000000000000000"
+          "00000000000000000000000000000000000000000001dceabab3e30000", 1),                                 # ert_netidm
 ]
 
 
@@ -226,7 +242,11 @@ def _ref_events(num, code):
 
 def _our_events(num, code):
     rx = RtlTpu(register_all=False, report_time="off")
-    rx.registry.register(num)
+    arg = None
+    if isinstance(num, str) and ":" in num:
+        n, arg = num.split(":", 1)
+        num = int(n)
+    rx.registry.register(num, arg)
     evs = []
     for part in code.split("|"):
         evs += rx.decode_test_string(part)
@@ -293,7 +313,8 @@ def test_decoder_mutation_fuzz(rtl433, num, code, min_events):
     """Bit-flip mutations of known-good vectors must produce identical
     accept/reject decisions and identical events on both implementations."""
     import random
-    rng = random.Random(num * 1000 + len(code))
+    numkey = int(str(num).split(":")[0])
+    rng = random.Random(numkey * 1000 + len(code))
     import re
     total_bits = sum(int(p[1:p.index("}")]) for p in re.split(r"[ |]", code)
                      if p.startswith("{"))
