@@ -23,3 +23,4 @@ from . import security  # noqa: F401
 from . import garage  # noqa: F401
 from . import weather  # noqa: F401
 from . import energy  # noqa: F401
+from . import fineoffset2  # noqa: F401

@@ -210,6 +210,15 @@ VECTORS = [
     (161, "{736}16a31c5cc6040700ac129df6bc420516af2d07000041482608410500053004"
           "0000000000000000000000000000000000000000000000000000000000000000"
           "00000000000000000000000000000000000000000001dceabab3e30000", 1),                                 # ert_netidm
+    # batch 16: Fine Offset / EcoWitt FSK family part 2
+    (113, "{176}aaaa2dd430c3820a5edfbc0756a7ae00000000000000", 1),    # wh31e
+    (219, "{192}aaaa2dd445003660027e36402300290229074f0000000000", 1),  # wh45
+    (221, "{104}aaaa2dd43400296502854466f3", 1),                      # wn34
+    (190, "{104}aaaa2dd4578105c8058101df0b", 1),                      # wh31l
+    (213, "{176}aaaa2dd4800a003b001050885938186d1c00ffff7855", 1),    # ws80
+    (244, "{290}aaaa8b7524000d0ac01de920988e400f80000fffc8002e8000"
+          "0980803fe7fe000020a493c", 1),                              # ws90
+    (112, "{74}1149508d6eb6af7285c", 1),                              # tx8300
 ]
 
 

@@ -104,7 +104,7 @@ def test_cli_conf_and_stats(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "rtl_433_tpu.cli", "-c", str(conf),
          "-s", "250000", "-r", cu8],
-        capture_output=True, text=True, timeout=300, env=env,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert any('"model" : "Nexus-TH"' in l for l in lines), out.stdout
