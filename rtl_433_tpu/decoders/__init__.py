@@ -24,3 +24,4 @@ from . import garage  # noqa: F401
 from . import weather  # noqa: F401
 from . import energy  # noqa: F401
 from . import fineoffset2  # noqa: F401
+from . import tpms2  # noqa: F401

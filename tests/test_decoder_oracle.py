@@ -219,6 +219,15 @@ VECTORS = [
     (244, "{290}aaaa8b7524000d0ac01de920988e400f80000fffc8002e8000"
           "0980803fe7fe000020a493c", 1),                              # ws90
     (112, "{74}1149508d6eb6af7285c", 1),                              # tx8300
+    # batch 17: TPMS part 2
+    (110, "{140}faad4ab2d52d3532b55352b534d2aad552a", 1),             # pmv107j
+    (123, "{136}55555656595a6566696a596965659a9696", 1),              # jansite
+    (140, "{144}7155956a9a5959566659655656555aaa9955", 1),            # elantra
+    (156, "{168}555556565659595a5a656555666a956569595666a9", 1),      # abarth tg1c
+    (186, "{192}555555565956a599aaa99a999aa9555a9669665566669a56", 1),  # vdo
+    (201, "{192}55555699556695569a59955655595a55555556a9969a5555", 1),  # truck
+    (226, "{154}ed715569969a655956665965565655aaaa99aa4", 1),         # kia
+    (208, "{168}cccccccd2d2ccacb32ccaaab4d4ab52cb354cb5555", 1),      # ave
 ]
 
 
