@@ -25,3 +25,4 @@ from . import weather  # noqa: F401
 from . import energy  # noqa: F401
 from . import fineoffset2  # noqa: F401
 from . import tpms2  # noqa: F401
+from . import tpms3  # noqa: F401

@@ -228,6 +228,15 @@ VECTORS = [
     (201, "{192}55555699556695569a59955655595a55555556a9969a5555", 1),  # truck
     (226, "{154}ed715569969a655956665965565655aaaa99aa4", 1),         # kia
     (208, "{168}cccccccd2d2ccacb32ccaaab4d4ab52cb354cb5555", 1),      # ave
+    # batch 18: TPMS part 3
+    (225, "{88}fd5fd5f6b20d21e82f00ac", 1),                           # tyreguard
+    (241, "{80}000074f2e88170b5efff", 1),                             # eezrv
+    (252, "{192}aa59555a595aa9565a6999566a6569595556699a55655566", 1),  # bmw g5
+    (257, "{194}cccd54cab4aaccab4cb4d54b4ab4ccd55552aaacb3534aad4", 1),  # bmw g3
+    (275, "{130}0000000000000103123456789a64556b0", 1),               # gm
+    (212, "{176}555699569a59a55aa5556a95656956659a9995555555", 1),    # renault
+    (343, "{112}32b44d32acccccccccccaaaaad2d", 1),                    # smartire
+    (365, "{92}00283deadbeef6e4c6be9c8", 1),                          # mercedes
 ]
 
 
