@@ -26,3 +26,4 @@ from . import energy  # noqa: F401
 from . import fineoffset2  # noqa: F401
 from . import tpms2  # noqa: F401
 from . import tpms3  # noqa: F401
+from . import remotes2  # noqa: F401

@@ -237,6 +237,19 @@ VECTORS = [
     (212, "{176}555699569a59a55aa5556a95656956659a9995555555", 1),    # renault
     (343, "{112}32b44d32acccccccccccaaaaad2d", 1),                    # smartire
     (365, "{92}00283deadbeef6e4c6be9c8", 1),                          # mercedes
+    # batch 19: remotes / home automation part 2
+    (64, "{390}ff000000000000000000000000000000000000000000000000000000"
+         "00000000000000000000ff00000000001234ab0000", 1),            # honda
+    (93, "{1}8 {9}0000 {1}8 {78}abcdef00000000420000", 1),            # ford
+    (94, "{112}ffed3affb9fed3affb9fed3affb9", 1),                     # philips
+    (98, "{88}ccccccff00acb2cb2cb2ca", 1),                            # ge color
+    (101, " ".join(["{16}bea8"] * 4), 1),                             # dish rc63
+    (61, "{71}091430892288512450", 1),                                # lightwave
+    (77, "{131}00007d5b37800200000096805f64bee00", 1),                # vaillant
+    (111, "{17}000000 " + " ".join(["{54}0730800042053c"] * 3), 1),   # ttx201
+    (102, "{92}cc5f7773b333d3531fbf6ff {92}cc5f7773b333d3531fbf6ff", 1),  # ss
+    (67, "{136}55555551cdb31b1cb32b2ab2c71cc69b19", 1),               # radiohead
+    (103, "{196}55555551cdb0d6b2b1cb32b26b1cb2cb1c2dab2ca5655ab1c", 1),  # sensible
 ]
 
 
