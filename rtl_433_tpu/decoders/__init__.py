@@ -27,3 +27,4 @@ from . import fineoffset2  # noqa: F401
 from . import tpms2  # noqa: F401
 from . import tpms3  # noqa: F401
 from . import remotes2  # noqa: F401
+from . import home2  # noqa: F401

@@ -250,6 +250,20 @@ VECTORS = [
     (102, "{92}cc5f7773b333d3531fbf6ff {92}cc5f7773b333d3531fbf6ff", 1),  # ss
     (67, "{136}55555551cdb31b1cb32b2ab2c71cc69b19", 1),               # radiohead
     (103, "{196}55555551cdb0d6b2b1cb32b26b1cb2cb1c2dab2ca5655ab1c", 1),  # sensible
+    # batch 20: home sensors part 2
+    (21, "{0} {21}53af50 {21}53af50", 1),                             # calibeur
+    (24, "{25}fabaae8", 1),                                           # brennenstuhl
+    (26, "{254}aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa365ca9c8e4e5cb4969"
+         "9a596968bb15b0", 1),                                        # danfoss
+    (72, " ".join(["{24}491a84"] * 3), 1),                            # rftech
+    (81, "{98}5562a69a966aaaaa5a6aaaa80", 1),                         # oil std fsk
+    (83, "{98}5562a69a966aaaaa5a6aaaa80", 1),                         # oil std ask
+    (118, " ".join(["{36}422105190"] * 4), 1),                        # bt_rain
+    (120, "{48}5f425140ece0", 1),                                     # xc0324
+    (126, " ".join(["{14}0c08"] * 3), 1),                             # companion
+    (133, " ".join(["{32}01507a25"] * 10), 1),                        # rubicson48659
+    (137, " ".join(["{33}1262bc8c0"] * 5), 1),                        # gt_tmbbq05
+    (138, " ".join(["{41}e8cffefa348"] * 3), 1),                      # gt_wt_03
 ]
 
 
