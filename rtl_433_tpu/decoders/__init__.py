@@ -28,3 +28,4 @@ from . import tpms2  # noqa: F401
 from . import tpms3  # noqa: F401
 from . import remotes2  # noqa: F401
 from . import home2  # noqa: F401
+from . import weather3  # noqa: F401

@@ -264,6 +264,18 @@ VECTORS = [
     (133, " ".join(["{32}01507a25"] * 10), 1),                        # rubicson48659
     (137, " ".join(["{33}1262bc8c0"] * 5), 1),                        # gt_tmbbq05
     (138, " ".join(["{41}e8cffefa348"] * 3), 1),                      # gt_wt_03
+    # batch 21: weather / utility part 3
+    (150, "{88}b42b482c410aa2060e6ace", 1),                           # klimalogg
+    (145, "{112}0aedcbffbedcc8f5ebfffeeffa32"
+          " {112}0aedcbffbedcc8f5ebfffeeffa32", 1),                   # ws2032
+    (157, "{0} " + " ".join(["{40}42000fa00f"] * 5), 1),              # missil
+    (147, "{66}cedcbaffaa55ff1c8 {66}cedcbaffaa55ff1c8", 1),          # tfa_drop
+    (134, "{192}aaaaaa98f3a51234011550230c40000000007d0000000000", 1),  # holman
+    (143, " ".join(["{96}555a6788ff05c8feda7b72ff"] * 3), 1),         # holman pwm
+    (340, " ".join(["{96}555a6788ff05c8feda7b72ff"] * 3), 1),         # holman ook
+    (144, "{152}aaaaaaaad391d3910861cfd3f19e34abc87098", 1),          # archos
+    (139, "{55}05b5b63f3ffcbe", 1),                                   # norgo
+    (124, "{58}018a6b9486a56c4", 1),                                  # ws7000
 ]
 
 
