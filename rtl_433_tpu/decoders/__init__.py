@@ -29,3 +29,4 @@ from . import tpms3  # noqa: F401
 from . import remotes2  # noqa: F401
 from . import home2  # noqa: F401
 from . import weather3  # noqa: F401
+from . import home3  # noqa: F401

@@ -231,7 +231,7 @@ def _wh1050_decode_at(bits, bitpos, fsk):
     return None
 
 
-@decoder("fineoffset_wh1050")
+@decoder("fineoffset_wh1050", "tfa_303151")
 def fineoffset_wh1050(bits, dev):
     """Fine Offset WH1050 / TFA 30.3151 (ref src/devices/fineoffset_wh1050.c)."""
     if bits.num_rows != 1:

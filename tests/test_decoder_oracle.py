@@ -276,6 +276,17 @@ VECTORS = [
     (144, "{152}aaaaaaaad391d3910861cfd3f19e34abc87098", 1),          # archos
     (139, "{55}05b5b63f3ffcbe", 1),                                   # norgo
     (124, "{58}018a6b9486a56c4", 1),                                  # ws7000
+    # batch 22: home sensors part 3
+    (152, "{48}d4e1b05fba24 {48}d4e1b05fba24", 1),                    # efth800
+    (153, "{124}0140570234e5a0150029a3700c81e55", 1),                 # cotech
+    (205, "{304}14e123000c172b00000000000000000000000000001"
+          "21b0000436e4c9223274900000000008a", 1),                    # telldus
+    (214, " ".join(["{120}555a7cbd6777ce14af05c8f5abd0ff"] * 3), 1),  # emos
+    (194, "{192}aaaaaa2dd4d3910f0001030158a221d600f400d3013cff00", 1),  # inkbird
+    (195, "{238}aaaaaaaaaaa9999a555aa6aa9556569965555555965559555"
+          "55656666654", 1),                                          # rainpoint
+    (232, "{64}aaaa5c28a0ffce69", 1),                                 # tfa 1504v2
+    (246, "{120}aaaa2dd45f59934800000096c60000", 1),                  # tfa 303151
 ]
 
 
