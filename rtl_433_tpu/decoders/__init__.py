@@ -30,3 +30,4 @@ from . import remotes2  # noqa: F401
 from . import home2  # noqa: F401
 from . import weather3  # noqa: F401
 from . import home3  # noqa: F401
+from . import bbq  # noqa: F401

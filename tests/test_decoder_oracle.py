@@ -287,6 +287,20 @@ VECTORS = [
           "55656666654", 1),                                          # rainpoint
     (232, "{64}aaaa5c28a0ffce69", 1),                                 # tfa 1504v2
     (246, "{120}aaaa2dd45f59934800000096c60000", 1),                  # tfa 303151
+    # batch 23: BBQ / meat thermometer family
+    (245, " ".join(["{45}95000d70a000"] * 4), 1),                     # tx2c
+    (256, "{240}d2aa2dd4280206260000280211070000a2906d70a70000000000"
+          "00000000", 1),                                             # tp28b
+    (267, "{120}552dd4770c2eceaa4f3eddeaa4d7cb", 1),                  # tp828b
+    (259, "{96}552dd4082f2efeddeddedde8", 1),                         # tp829b
+    (278, "{96}552dd4e800293017aa55aa83", 1),                         # tx7b
+    (294, "{168}d2552dd49c4a2bc2c50b3f4cb30000000000000000", 1),      # tp86xb
+    (297, "{88}552dd4011ed6036caa14ff", 1),                           # tp211b
+    (177, "{80}e0ddff6fadbbebda1ae1", 1),                             # burnhard
+    (281, "{216}d2aa2dd40806f00041a1f4f00091a410f0005aa1f4f000a50672"
+          "6a", 1),                                                   # xr50
+    (377, "{208}5754123456000800102711271227132714272202640105007402",
+     1),                                                              # typhur
 ]
 
 
