@@ -301,6 +301,14 @@ VECTORS = [
           "6a", 1),                                                   # xr50
     (377, "{208}5754123456000800102711271227132714272202640105007402",
      1),                                                              # typhur
+    # batch 24: fineoffset part 3 (wh43 omitted: reference segfaults on a
+    # MIC-valid packet due to float-as-DATA_INT varargs UB in battery_pct)
+    (262, "{192}aa2dd4460027f102b53340324039030b002a00360190e416", 1),  # wh46
+    (287, "{288}aaaa2dd4850028eb87826f0083003fff000000000b0b0000ffef"
+          "fd00006b316e00000000", 1),                                 # ws85
+    (353, "{216}aa2dd4a2123456026c32000190000600000051000000000000a6"
+          "6c", 1),                                                   # wh52
+    (356, "{47}fe8821ae5bd4", 1),                                     # wh5rb
 ]
 
 
