@@ -32,3 +32,4 @@ from . import weather3  # noqa: F401
 from . import home3  # noqa: F401
 from . import bbq  # noqa: F401
 from . import fineoffset3  # noqa: F401
+from . import home4  # noqa: F401

@@ -309,6 +309,18 @@ VECTORS = [
     (353, "{216}aa2dd4a2123456026c32000190000600000051000000000000a6"
           "6c", 1),                                                   # wh52
     (356, "{47}fe8821ae5bd4", 1),                                     # wh5rb
+    # batch 25: home sensors part 4
+    (247, "{176}aaaa2dd427f380025288517000000000000000000000", 1),    # leakage
+    (249, "{112}aaaa2dd49b02b89e8bfa98a3aaaa", 1),                    # lightning
+    (268, " ".join(["{38}3e8058c6d0"] * 3), 1),                       # st1005h
+    (261, " ".join(["{73}78ffd61fd455aa55960"] * 3), 1),              # tx16
+    (291, " ".join(["{73}75ffd0cfae55aa554c0"] * 3), 1),              # tx19
+    (250, "{65}a1f88cf6ff3506550 {65}a1f88cf6ff3506550", 1),          # schou
+    (242, " ".join(["{36}75b8002a3"] * 3), 1),                        # baldr
+    (254, "{9}598 {9}0d8 {9}338 {9}658 {9}400 {9}400 {9}6c8 {9}7f8 "
+          "{9}6b8 {9}708 {9}2f8 {9}000 {9}7d8", 1),                   # thermor
+    (243, "{328}cccccccc55555555555a55a555aa5a55aaaa55555a5555555a5a"
+          "5a5a555555555555555555555555f0", 1),                       # celsia
 ]
 
 
