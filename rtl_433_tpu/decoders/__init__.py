@@ -33,3 +33,4 @@ from . import home3  # noqa: F401
 from . import bbq  # noqa: F401
 from . import fineoffset3  # noqa: F401
 from . import home4  # noqa: F401
+from . import utility  # noqa: F401

@@ -321,6 +321,14 @@ VECTORS = [
           "{9}6b8 {9}708 {9}2f8 {9}000 {9}7d8", 1),                   # thermor
     (243, "{328}cccccccc55555555555a55a555aa5a55aaaa55555a5555555a5a"
           "5a5a555555555555555555555555f0", 1),                       # celsia
+    # batch 26: utility metering / monitoring
+    (253, "{54}5ab24971f79994", 1),                                   # watts
+    (234, "{196}aaaaaaaaaa2dd40e040100259e804faa602801050300253d0",
+     1),                                                              # sonicadv
+    (235, "{156}5555589999996a6559aaa999969aa6aa9a6995f", 1),         # oil smart
+    (237, "{240}aaaad391d39115017856341200254a3565102700000000000000"
+          "0000adda", 1),                                             # flowis
+    (351, "{64}aa2dd4001f0081a0", 1),                                 # ecoeye
 ]
 
 
