@@ -329,6 +329,13 @@ VECTORS = [
     (237, "{240}aaaad391d39115017856341200254a3565102700000000000000"
           "0000adda", 1),                                             # flowis
     (351, "{64}aa2dd4001f0081a0", 1),                                 # ecoeye
+    # batch 27: remotes / home automation part 3
+    (191, "{41}5be99bbf8d0", 1),                                      # markisol
+    (270, "{112}aaaaaaa423123402d51c00000000", 1),                    # quinetic
+    (211, " ".join(["{21}559f80"] * 4), 1),                           # regency
+    (210, "{13}5090 {13}51a0 {13}5560 {13}5080 {13}5008 {13}5fe8", 1),  # yale
+    (207, "{182}e5659ab96995ae66695ba55596e5a665b955556e555558", 1),  # proflame
+    (202, "{48}2ca2c4802892", 1),                                     # funkbus
 ]
 
 
