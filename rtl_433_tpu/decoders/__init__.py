@@ -35,3 +35,4 @@ from . import fineoffset3  # noqa: F401
 from . import home4  # noqa: F401
 from . import utility  # noqa: F401
 from . import remotes3  # noqa: F401
+from . import remotes4  # noqa: F401

@@ -336,6 +336,13 @@ VECTORS = [
     (210, "{13}5090 {13}51a0 {13}5560 {13}5080 {13}5008 {13}5fe8", 1),  # yale
     (207, "{182}e5659ab96995ae66695ba55596e5a665b955556e555558", 1),  # proflame
     (202, "{48}2ca2c4802892", 1),                                     # funkbus
+    # batch 28: remotes / home automation part 4
+    (187, "{136}aaaad391d39108123456211a0042192f58", 1),              # rojaflex
+    (286, " ".join(["{33}12345bbb8"] * 3), 1),                        # unifan
+    (335, "{22}850300 {22}850300", 1),                                # martec
+    (233, "{201}aa4d5e59a5659599559959a565959656a96955555555555555"
+          "58 {201}aa4d5e59a5659599559959a565959656a9695555555555555"
+          "558", 1),                                                  # ced7000
 ]
 
 
