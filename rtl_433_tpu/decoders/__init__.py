@@ -36,3 +36,4 @@ from . import home4  # noqa: F401
 from . import utility  # noqa: F401
 from . import remotes3  # noqa: F401
 from . import remotes4  # noqa: F401
+from . import tpms4  # noqa: F401

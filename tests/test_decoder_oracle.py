@@ -343,6 +343,21 @@ VECTORS = [
     (233, "{201}aa4d5e59a5659599559959a565959656a96955555555555555"
           "58 {201}aa4d5e59a5659599559959a565959656a9695555555555555"
           "558", 1),                                                  # ced7000
+    # batch 29: TPMS part 4
+    (295, "{200}555555566656595a6566696a955659965556a96965a66aa66a",
+     1),                                                              # airpuxem
+    (298, "{98}00015c1234567862534b0e344", 1),                        # trw ook
+    (299, "{98}7fff5c1234567862534b0e344", 1),                        # trw fsk
+    (322, "{88}2594b5f6e4d086b697e2e2", 1),                           # gearhive
+    (355, "{160}aaaaaaaa665659566555656a9a655a5566556656", 1),        # ty468
+    (354, "{160}aaaaaaaa665659566555655655555a5566556656", 1),        # imars
+    (362, "{172}99aa5a6a9aa99a9a6a965aaa5a55559a5aa95aa99a9", 1),     # ty588
+    (352, "{110}f5555555ea95965699599a655558", 1),                    # nis315g3
+    (328, "{61}7fff02468ad10540", 1),                                 # mrxbc5a4
+    (380, "{196}55555556655956595a6566696a9559566965665566666595f",
+     1),                                                              # jeep
+    (381, "{151}dae3552d3534cb534d4b35332d2ad4ad534cac", 1),          # honda
+    (378, "{184}aa669996a6565659595a5a656595665955696999a659aa", 1),  # sefis
 ]
 
 
