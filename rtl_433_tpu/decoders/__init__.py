@@ -37,3 +37,4 @@ from . import utility  # noqa: F401
 from . import remotes3  # noqa: F401
 from . import remotes4  # noqa: F401
 from . import tpms4  # noqa: F401
+from . import car_remotes  # noqa: F401

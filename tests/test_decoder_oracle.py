@@ -358,6 +358,14 @@ VECTORS = [
      1),                                                              # jeep
     (381, "{151}dae3552d3534cb534d4b35332d2ad4ad534cac", 1),          # honda
     (378, "{184}aa669996a6565659595a5a656595665955696999a659aa", 1),  # sefis
+    # batch 30: car remotes
+    (301, "{52}2bd4123456784", 1),                                    # astrostart
+    (302, "{36}1234ff806", 1),                                        # compustar
+    (304, "{160}fffffffffffffffffffffff0ffbdedcba9ac6543", 1),        # nidec
+    (316, "{144}000f0f06123456780030000042deadbeef58", 1),            # continental
+    (327, "{152}ec0f62081234567821000102deadbeef020000", 1),          # honda fob
+    (317, "{60}00000c82468ace0", 1),                                  # code alarm
+    (370, "{168}555556a9a6a59a9996956aa69966655a5999a996a6", 1),      # 2gig
 ]
 
 
