@@ -366,6 +366,20 @@ VECTORS = [
     (327, "{152}ec0f62081234567821000102deadbeef020000", 1),          # honda fob
     (317, "{60}00000c82468ace0", 1),                                  # code alarm
     (370, "{168}555556a9a6a59a9996956aa69966655a5999a996a6", 1),      # 2gig
+    # batch 31: wireless M-Bus
+    (104, "{240}543d543d1944685078563412011b7a4200000002659f0802fb1a"
+          "3601d81a", 1),                                             # C fmt B
+    (104, "{256}543d54cd1744685078563412011b26a37a4200000002659f0802"
+          "fb1a3601e0b4", 1),                                         # C fmt A
+    (104, "{352}543d35371c6ac6564ec65a2dc34e58d36339a98b4e670e596596"
+          "59658e6999695ac58ea633662da58dc968dc", 1),                 # mode T
+    (238, "{240}543d543d1944685078563412011b7a4200000002659f0802fb1a"
+          "3601d81a", 1),                                             # T dnlink
+    (105, "{472}547696a9959a9a966a99aa956a9996a59aa9a6aaa9a965a69666"
+          "a595669aa6aaaaaaaaaaaaaaa696996955aa6aaaa65565a966a596aaa9"
+          "56aa659a", 1),                                             # mode S
+    (379, "{377}0ffffffff7c688d1191366622d5599b77611d339570b6d0da185"
+          "b08680cbda8300600c01903536f9c219a734689dc58", 1),          # radian
 ]
 
 
