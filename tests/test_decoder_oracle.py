@@ -380,6 +380,15 @@ VECTORS = [
           "56aa659a", 1),                                             # mode S
     (379, "{377}0ffffffff7c688d1191366622d5599b77611d339570b6d0da185"
           "b08680cbda8300600c01903536f9c219a734689dc58", 1),          # radian
+    # batch 32: misc D
+    (184, "{68}a5c802017300043170", 1),                               # aft77b2
+    (200, "{52}1a8088f000145", 1),                                    # 4ld5661
+    (357, "{36}123490d77 {36}123490d77", 1),                          # hg04641a
+    (193, "{369}b000000060000000000c6c060db1b60306000000000000300000"
+          "0060000000000c6c060db1b603060000000000000", 1),            # cmr113
+    (197, "{56}bd3f5fc42fe268", 1),                                   # 01185m
+    (326, "{56}0000c4482c0077", 1),                                   # acurite985
+    (174, "{144}aaaaaa2dd48c74d4b93eb322384451550000", 1),            # ecodhome
 ]
 
 
