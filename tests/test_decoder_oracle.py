@@ -389,6 +389,12 @@ VECTORS = [
     (197, "{56}bd3f5fc42fe268", 1),                                   # 01185m
     (326, "{56}0000c4482c0077", 1),                                   # acurite985
     (174, "{144}aaaaaa2dd48c74d4b93eb322384451550000", 1),            # ecodhome
+    # batch 33: Govee FSK family
+    (300, "{208}2c4c4a16055407ffa4e7736c435930655a6a616333533741e2fb",
+     1),                                                              # h5059
+    (349, "{160}2c4c4a1005548ee8a4e7770869dbfc9a5a6a95c7", 1),        # h5310
+    (350, "{280}2c4c4a1f0534647ba4e7174a118d41655a6a676332533641504"
+          "3564c674c787a46d70c", 1),                                  # h5112
 ]
 
 
