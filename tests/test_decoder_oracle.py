@@ -395,6 +395,12 @@ VECTORS = [
     (349, "{160}2c4c4a1005548ee8a4e7770869dbfc9a5a6a95c7", 1),        # h5310
     (350, "{280}2c4c4a1f0534647ba4e7174a118d41655a6a676332533641504"
           "3564c674c787a46d70c", 1),                                  # h5112
+    # batch 34: LaCrosse part 2
+    (240, "{88}aaaa2dd4a2020653106817", 1),                           # tx31u
+    (323, "{96}aaaa2dd4a283065310687700", 1),                         # tx22uit
+    (324, "{96}5555d22b5d7cf9acef9788ff", 1),                         # tx22 ook
+    (374, "{96}d2aa2dd4123456142a5037ae", 1),                         # tx232th
+    (375, "{128}d2aa2dd412345614010203040506d79c", 1),                # tx231rw
 ]
 
 
