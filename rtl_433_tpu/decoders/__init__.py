@@ -42,3 +42,4 @@ from . import m_bus  # noqa: F401
 from . import misc_d  # noqa: F401
 from . import govee2  # noqa: F401
 from . import lacrosse2  # noqa: F401
+from . import weather4  # noqa: F401

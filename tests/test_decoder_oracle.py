@@ -401,6 +401,17 @@ VECTORS = [
     (324, "{96}5555d22b5d7cf9acef9788ff", 1),                         # tx22 ook
     (374, "{96}d2aa2dd4123456142a5037ae", 1),                         # tx232th
     (375, "{128}d2aa2dd412345614010203040506d79c", 1),                # tx231rw
+    # batch 35: weather / garden part 4
+    (263, "{272}aaaacaca54aa0012340002d23701512801510165040165009700"
+          "0000000000000000", 1),                                     # vevor
+    (293, "{426}fc95004010042311467224ab3340100401004010040b0040100"
+          "5cd0046f0040100401004210044100569004150040100401085ab26c",
+     1),                                                              # sainlogic
+    (292, "{56}edcbffff194fd3", 1),                                   # wallarge
+    (319, "{72}e8ceacfa1ccdaafaa0 {72}e8ceacfa1ccdaafaa0", 1),        # wl-th6r
+    (280, "{65}55aaedcbd2e9dbbf8", 1),                                # homelead
+    (276, " ".join(["{163}996656a9699959a5659555555555596955555"
+                    "6a94"] * 4), 1),                                 # rainpoint
 ]
 
 
