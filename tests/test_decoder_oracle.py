@@ -412,6 +412,13 @@ VECTORS = [
     (280, "{65}55aaedcbd2e9dbbf8", 1),                                # homelead
     (276, " ".join(["{163}996656a9699959a5659555555555596955555"
                     "6a94"] * 4), 1),                                 # rainpoint
+    # batch 36: misc E
+    (361, "{60}ccb2cd53332d32b", 1),                                  # kidde
+    (346, "{190}fffe0002aaaaaaaaab2b2848d15811a80ff00e100e12a9b4", 1),  # en2058
+    (347, "{224}4b2dd42b18a5010203004200e7000000e5000000e6000000eab"
+          "b8f46", 1),                                                # tfa 390x
+    (367, "{360}0000d2b9691e41bbb3222791c0d4eda4aed4b0715f2d5d437a9"
+          "6142a48b1af42238329f30bc93977b23ef", 1),                   # tfa 3307
 ]
 
 
