@@ -418,7 +418,7 @@ VECTORS = [
     (347, "{224}4b2dd42b18a5010203004200e7000000e5000000e6000000eab"
           "b8f46", 1),                                                # tfa 390x
     (367, "{360}0000d2b9691e41bbb3222791c0d4eda4aed4b0715f2d5d437a9"
-          "6142a48b1af42238329f30bc93977b23ef", 1),                   # tfa 3307
+          "6142a48b1af42238329f30bc93977b23efb21cf", 1),              # tfa 3307
 ]
 
 
