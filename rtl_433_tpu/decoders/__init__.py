@@ -44,3 +44,4 @@ from . import govee2  # noqa: F401
 from . import lacrosse2  # noqa: F401
 from . import weather4  # noqa: F401
 from . import misc_e  # noqa: F401
+from . import misc_f  # noqa: F401

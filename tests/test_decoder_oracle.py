@@ -419,6 +419,15 @@ VECTORS = [
           "b8f46", 1),                                                # tfa 390x
     (367, "{360}0000d2b9691e41bbb3222791c0d4eda4aed4b0715f2d5d437a9"
           "6142a48b1af42238329f30bc93977b23efb21cf", 1),              # tfa 3307
+    # batch 37: misc F
+    (188, "{368}aaaad391d39125000022000005000100000000000000002c0110"
+          "2700000000cae80300000000000000000000a30d", 1),                                    # marlec
+    (215, "{304}aaaacaca54aaa16e95a38aae2daaaaaaaaaaaaaaaaaaaaaaaaaa"
+          "aaaaaaaaaaaaaaaaaaaa9c00", 1),                             # emax
+    (359, "{53}fff094692b5c10", 1),                                   # watchman+
+    (224, "{120}aaaa7bb93f062905346400010086d0", 1),                  # geo ct
+    (224, "{416}55557bb9ea01352a3c0000000000000000000840000000000000"
+          "0000aaaaaaaaaa0010000c22aaffff00000000aaffaaaa00df25", 1),  # geo dp
 ]
 
 
