@@ -428,6 +428,12 @@ VECTORS = [
     (224, "{120}aaaa7bb93f062905346400010086d0", 1),                  # geo ct
     (224, "{416}55557bb9ea01352a3c0000000000000000000840000000000000"
           "0000aaaaaaaaaa0010000c22aaffff00000000aaffaaaa00df25", 1),  # geo dp
+    # batch 38: misc G
+    (348, "{160}d391d3910dfffffe0212345600e600d2646603e2", 1),        # wfht lcd
+    (358, "{80}000fe032ccad52b5554a", 1),                             # eberle
+    (371, "{40}bdeb731db8", 1),                                       # hanwell
+    (369, "{72}1425103250b4ffff91", 1),                               # ft0203
+    (382, " ".join(["{60}ab8e6e000000123"] * 8), 1),                  # 367900
 ]
 
 
