@@ -46,3 +46,4 @@ from . import weather4  # noqa: F401
 from . import misc_e  # noqa: F401
 from . import misc_f  # noqa: F401
 from . import misc_g  # noqa: F401
+from . import keeloq  # noqa: F401

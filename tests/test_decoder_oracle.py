@@ -434,6 +434,11 @@ VECTORS = [
     (371, "{40}bdeb731db8", 1),                                       # hanwell
     (369, "{72}1425103250b4ffff91", 1),                               # ft0203
     (382, " ".join(["{60}ab8e6e000000123"] * 8), 1),                  # 367900
+    # batch 39: Microchip KeeLoq
+    (306, "{6}fc {67}f77db57b6a2c4805e", 1),                          # hcs361
+    (310, "{6}fc {67}f77db57b6a2c4805e", 1),                          # hcs361 vpwm
+    (329, "{12}fff {69}f77db57b6a2c480510", 1),                       # hcs362 pwm
+    (330, "{24}aaaaaa {144}aa9a9aa9a6999aa69a665669596555599595", 1),  # hcs362 mc
 ]
 
 
