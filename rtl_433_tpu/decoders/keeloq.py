@@ -101,8 +101,10 @@ def _hcs362_decode(bits, dev, is_mc):
         if (b[0] & 0xC0) != 0x80:
             return DECODE_ABORT_EARLY
         msg = BitBuffer()
+        # the reference checks the consumed raw position, not the decoded
+        # bit count (ref src/devices/hcs362.c:129)
         length = bits.manchester_decode(1, 2, msg, 72)
-        if msg.bits_per_row[0] < 70:
+        if length < 69 + 1:
             return DECODE_ABORT_LENGTH
         msg.invert()
         b = _ints(msg.bb[0])
