@@ -439,6 +439,14 @@ VECTORS = [
     (310, "{6}fc {67}f77db57b6a2c4805e", 1),                          # hcs361 vpwm
     (329, "{12}fff {69}f77db57b6a2c480510", 1),                       # hcs362 pwm
     (330, "{24}aaaaaa {144}aa9a9aa9a6999aa69a665669596555599595", 1),  # hcs362 mc
+    # batch 40: misc H
+    (344, "{37}b9aaeabbb8", 1),                                       # dickert
+    (345, "{758}aaaaaaaaabd2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543d2ccd32ad4d4d55543", 1),                                      # fsl
+    (363, "{264}aad391d391e601ffdae2062220edcbff39ffb037ff6bffffffff"
+          "ffffffffff366c", 1),                                       # wmr500
+    (336, "{256}aaaae71219015a91027dad570d000000000000000035000000007"
+          "6000158693c", 1),                                          # netatmo
+    (337, "{80}030e6000000000002cb1 {80}030e6000000000002cb1", 1),    # omni
 ]
 
 
