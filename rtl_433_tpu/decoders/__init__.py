@@ -48,3 +48,4 @@ from . import misc_f  # noqa: F401
 from . import misc_g  # noqa: F401
 from . import keeloq  # noqa: F401
 from . import misc_h  # noqa: F401
+from . import misc_i  # noqa: F401

@@ -447,6 +447,13 @@ VECTORS = [
     (336, "{256}aaaae71219015a91027dad570d000000000000000035000000007"
           "6000158693c", 1),                                          # netatmo
     (337, "{80}030e6000000000002cb1 {80}030e6000000000002cb1", 1),    # omni
+    # batch 41: misc I
+    (285, "{88}edcba94b5fd3ffb4ffb54e", 1),                           # bm5
+    (288, "{227}aaaaaaaaaaaa66aa5565559565595599956555555555556555559"
+          "9690", 1),                                                 # oria
+    (264, "{96}5555aafa01dee7635ea1ffff", 1),                         # arexx
+    (258, "{136}552dd400024b1508c10102592e08b0e96b", 1),              # cwpirc
+    (274, "{120}2ab07ea05a16603a84008710e000a3", 1),                  # revolt
 ]
 
 
