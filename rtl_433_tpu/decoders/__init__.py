@@ -49,3 +49,4 @@ from . import misc_g  # noqa: F401
 from . import keeloq  # noqa: F401
 from . import misc_h  # noqa: F401
 from . import misc_i  # noqa: F401
+from . import misc_j  # noqa: F401

@@ -454,6 +454,10 @@ VECTORS = [
     (264, "{96}5555aafa01dee7635ea1ffff", 1),                         # arexx
     (258, "{136}552dd400024b1508c10102592e08b0e96b", 1),              # cwpirc
     (274, "{120}2ab07ea05a16603a84008710e000a3", 1),                  # revolt
+    # batch 42: misc J
+    (6, " ".join(["{107}000060285e0847924d0089c03f6"] * 3), 1),       # em1000
+    (7, "{60}00314d4a90d4b1b", 1),                                    # ws2000
+    (122, "{58}ffeede5bbddd924", 1),                                  # fs20
 ]
 
 
