@@ -50,3 +50,4 @@ from . import keeloq  # noqa: F401
 from . import misc_h  # noqa: F401
 from . import misc_i  # noqa: F401
 from . import misc_j  # noqa: F401
+from . import misc_k  # noqa: F401
