@@ -458,6 +458,12 @@ VECTORS = [
     (6, " ".join(["{107}000060285e0847924d0089c03f6"] * 3), 1),       # em1000
     (7, "{60}00314d4a90d4b1b", 1),                                    # ws2000
     (122, "{58}ffeede5bbddd924", 1),                                  # fs20
+    # batch 43: misc K (rfm69 omitted: reference segfaults on valid frame
+    # due to int-as-DATA_STRING varargs UB)
+    (320, "{64}aad39178554c3358", 1),                                 # ctt tag
+    (271, "{786}aaaa005ff2a557005c5445112259911555335dd08c0100501205810040100401004010440100401004014048160441504c10040100401004010040100401004010040100401004010040100401004010040100401004010040100401004010052921c", 1),                                       # gridstream
+    (272, "{786}aaaa005ff2a557005c5445112259911555335dd08c0100501205810040100401004010440100401004014048160441504c10040100401004010040100401004010040100401004010040100401004010040100401004010040100401004010052921c", 1),
+    (273, "{786}aaaa005ff2a557005c5445112259911555335dd08c0100501205810040100401004010440100401004014048160441504c10040100401004010040100401004010040100401004010040100401004010040100401004010040100401004010052921c", 1),
 ]
 
 
