@@ -51,3 +51,4 @@ from . import misc_h  # noqa: F401
 from . import misc_i  # noqa: F401
 from . import misc_j  # noqa: F401
 from . import misc_k  # noqa: F401
+from . import meters  # noqa: F401

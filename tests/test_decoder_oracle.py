@@ -464,6 +464,15 @@ VECTORS = [
     (271, "{786}aaaa005ff2a557005c5445112259911555335dd08c0100501205810040100401004010440100401004014048160441504c10040100401004010040100401004010040100401004010040100401004010040100401004010040100401004010052921c", 1),                                       # gridstream
     (272, "{786}aaaa005ff2a557005c5445112259911555335dd08c0100501205810040100401004010440100401004014048160441504c10040100401004010040100401004010040100401004010040100401004010040100401004010040100401004010052921c", 1),
     (273, "{786}aaaa005ff2a557005c5445112259911555335dd08c0100501205810040100401004010440100401004014048160441504c10040100401004010040100401004010040100401004010040100401004010040100401004010040100401004010052921c", 1),
+    # batch 44: water/pool meters
+    (223, "{144}543d4ec65a2dc59635639359658d6ac5a900", 1),            # badger
+    (282, "{232}aaaaec62ec62ebe11d9aed455b5cee7bf23a3075560a7e7d2dd8"
+          "6ab2a5", 1),                                               # orion ep
+    (290, "{232}aaaaec62ec62ebe11d9aed455b5cee7bf23a3075560a7e7d2dd8"
+          "6ab2a5", 1),                                               # orion 2020
+    (227, "{136}aaaaaad391d3910701fffff55f0da75e7f", 1),              # srsmith
+    (228, "{224}555555a966696533a965aaa63956c33a63333c33665a36cc5aa9"
+          "aaa3", 1),                                                 # neptune
 ]
 
 
