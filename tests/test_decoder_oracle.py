@@ -473,6 +473,11 @@ VECTORS = [
     (227, "{136}aaaaaad391d3910701fffff55f0da75e7f", 1),              # srsmith
     (228, "{224}555555a966696533a965aaa63956c33a63333c33665a36cc5aa9"
           "aaa3", 1),                                                 # neptune
+    # batch 45: misc L
+    (372, "{271}a723a723c946b115d108446dbc59801a4d0ac6b8aad85bb790e1"
+          "562211df35443b98", 1),                                     # elero
+    (364, "{312}0a7942bdf22106f057efdff0f3cb4d764dc7072051159a0f89f2"
+          "c6dacae344bb311245fd6f0d00", 1),                           # elsner
 ]
 
 
