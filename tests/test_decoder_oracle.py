@@ -478,6 +478,14 @@ VECTORS = [
           "562211df35443b98", 1),                                     # elero
     (364, "{312}0a7942bdf22106f057efdff0f3cb4d764dc7072051159a0f89f2"
           "c6dacae344bb311245fd6f0d00", 1),                           # elsner
+    # batch 46: misc M
+    (366, "{336}aad391d39122d0374654c6001234568d1100018a0284034b02d0"
+          "8e051e03cc000000004c0000deba09e7", 1),                     # watts_v
+    (289, "{550}d4018c7e67bf2e4b15f2b3b404fc2bdace27e30ba759a5be0edc"
+          "bff0f5e2b070f59d89ec5459cef2a6cddb6adf8c4e48754630963"
+          "3d08e4a092fba1d16749519e5de63c5c0", 1),                    # ec3k
+    (289, "{370}aaaaaa80d7a40aeafb8fef93a3a6beed9b464d6f34edebfd0771"
+          "dd706ceb9da8f08fba16d6ccad05ec4698a2e92a80", 1),           # ec3k 2
 ]
 
 
@@ -519,8 +527,8 @@ def _our_events(num, code):
     for part in code.split("|"):
         evs += rx.decode_test_string(part)
     return [json.loads(
-        __import__("rtl_433_tpu.output.data_model", fromlist=["event_to_jsons"])
-        .event_to_jsons(e)) for e in evs]
+        __import__("rtl_433_tpu.output.data_model", fromlist=["event_to_json"])
+        .event_to_json(e)) for e in evs]
 
 
 def _normalize(ev):
