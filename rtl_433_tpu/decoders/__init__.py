@@ -54,3 +54,4 @@ from . import misc_k  # noqa: F401
 from . import meters  # noqa: F401
 from . import misc_l  # noqa: F401
 from . import misc_m  # noqa: F401
+from . import misc_n  # noqa: F401

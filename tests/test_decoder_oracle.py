@@ -486,6 +486,18 @@ VECTORS = [
           "3d08e4a092fba1d16749519e5de63c5c0", 1),                    # ec3k
     (289, "{370}aaaaaa80d7a40aeafb8fef93a3a6beed9b464d6f34edebfd0771"
           "dd706ceb9da8f08fba16d6ccad05ec4698a2e92a80", 1),           # ec3k 2
+    # batch 47: elster + apator
+    (338, "{336}7d5d4761032d5555555555545756515053525d5c5f5e59585b5a"
+          "45444746414043424d4c4f4e4948dba1", 1),                     # beacon
+    (338, "{576}13555761032d5555455455555555555566549b17555554575454"
+          "56553154795552555555555555555555555555555555555555555555"
+          "5555555555555555656c555555555555d3f5", 1),
+    (373, "{576}aaecafa89efcd2aaaabaa8a3aaaaaaaafdaaaaaaaaaaaaaaaaaa"
+          "aaaaa8aa7407aaabaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa7407aaa8"
+          "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa567", 1),
+    (277, "{208}aaaa699aec2eb8618c689b45ea7ad2397097570a94122dd818e9",
+     1),                                                              # erm30
+    (296, "{192}aaaa699aee5d80cee5dd3424ea7ad23a76a5310a547d2152", 1),
 ]
 
 
