@@ -55,3 +55,4 @@ from . import meters  # noqa: F401
 from . import misc_l  # noqa: F401
 from . import misc_m  # noqa: F401
 from . import misc_n  # noqa: F401
+from . import misc_o  # noqa: F401

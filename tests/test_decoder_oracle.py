@@ -498,6 +498,13 @@ VECTORS = [
     (277, "{208}aaaa699aec2eb8618c689b45ea7ad2397097570a94122dd818e9",
      1),                                                              # erm30
     (296, "{192}aaaa699aee5d80cee5dd3424ea7ad23a76a5310a547d2152", 1),
+    # batch 48: risco, enocean, ant, somfy
+    (266, "{272}555accccb2aaaaab32ab2b352cb2aaab4cb53332ad2aaacab2aa"
+          "b2aaaaaab4aad332", 1),                                     # risco
+    (198, "{95}aacbb5ccdabd4ad25ddd5d56", 1),                         # enocean
+    (216, "{144}aaa6c53412780a0001020304050607085f11", 1),            # ant+
+    (189, "{274}57fd9937c09004017e4b759caf005014340100401005a15dd7f3"
+          "8d5f7b5515acab3c40", 1),                                   # somfy
 ]
 
 
