@@ -56,3 +56,4 @@ from . import misc_l  # noqa: F401
 from . import misc_m  # noqa: F401
 from . import misc_n  # noqa: F401
 from . import misc_o  # noqa: F401
+from . import misc_p  # noqa: F401

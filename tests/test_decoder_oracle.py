@@ -505,6 +505,19 @@ VECTORS = [
     (216, "{144}aaa6c53412780a0001020304050607085f11", 1),            # ant+
     (189, "{274}57fd9937c09004017e4b759caf005014340100401005a15dd7f3"
           "8d5f7b5515acab3c40", 1),                                   # somfy
+    # batch 49: insteon, deltadore
+    (159, "{287}3155532a8acd552952d3348d2b2b2932caca8b2ab5494ad3328c"
+          "ad2ca92acaaa8aacd550", 1),                                 # insteon
+    (269, "{328}aaaa8169967edc78bd58b8d99a10565e4b940eebe26438beb41a"
+          "b6b05cf1e79aeb53ec2d53c6a1fe35", 1),                       # x3d std
+    (269, "{200}aaaa8169967eec78bf5998808f41555e0a9d0e91bc502a886c",
+     1),                                                              # x3d wnd
+    # batch 50: honeywell cm921
+    (185, "{300}555ff00599555954acb352ccb4cd552d52b32d4b2ad2d2ad4b2a"
+          "cab2acad554b534d53565550", 1),                             # setpoint
+    (185, "{420}555ff00599555954acad32cad335354b4cd2b4ad2cd354d54b52"
+          "cab2d52d2acd32acab2acad2cd4b2ad2b2ad534d4ab33555565550",
+     1),                                                              # temps
 ]
 
 
