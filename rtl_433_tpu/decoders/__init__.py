@@ -57,3 +57,4 @@ from . import misc_m  # noqa: F401
 from . import misc_n  # noqa: F401
 from . import misc_o  # noqa: F401
 from . import misc_p  # noqa: F401
+from . import misc_q  # noqa: F401

@@ -518,6 +518,18 @@ VECTORS = [
     (185, "{420}555ff00599555954acad32cad335354b4cd2b4ad2cd354d54b52"
           "cab2d52d2acd32acab2acad2cd4b2ad2b2ad534d4ab33555565550",
      1),                                                              # temps
+    # batch 51: vivint (incl. seeded Rabbit-cipher status decode)
+    (342, "{92}00185ffbda3fec84125c6530", 1),                         # 7a raw
+    (342, "{92}0012ffffefffec84125863f0", 1),                         # d0
+    ("342:0019-0507610=05c9", "{92}00185ffcf5bfec84125ab880", 1),     # seeded
+    # batch 52: arad dialog3g (incl. syndrome error correction + args)
+    (260, "{184}c196f5138537b4bf1dfe8cff15b6f7fffa7eb21ca0df00", 1),
+    (260, "{184}c196f5138537949cffffd8ff17fcfffff79f003bf47f00", 1),
+    (260, "{184}c196f5138537b0bf1dfe8cdf15b6f7fffa7eb21ca0df00", 1),  # 2 errs
+    ("260:gear=10,units=l",
+     "{184}c196f5138537b4bf1dfe8cff15b6f7fffa7eb21ca0df00", 1),
+    ("260:serials=99-39",
+     "{184}c196f5138537949cffffd8ff17fcfffff79f003bf47f00", 1),
 ]
 
 
