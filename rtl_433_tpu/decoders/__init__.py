@@ -58,3 +58,5 @@ from . import misc_n  # noqa: F401
 from . import misc_o  # noqa: F401
 from . import misc_p  # noqa: F401
 from . import misc_q  # noqa: F401
+from . import misc_r  # noqa: F401
+from . import misc_s  # noqa: F401

@@ -530,6 +530,33 @@ VECTORS = [
      "{184}c196f5138537b4bf1dfe8cff15b6f7fffa7eb21ca0df00", 1),
     ("260:serials=99-39",
      "{184}c196f5138537949cffffd8ff17fcfffff79f003bf47f00", 1),
+    # batch 53: silver spring mesh (seed-scan descramble + TLV walk)
+    (383, "{311}aaaa18bfabffc74f5f44cc607755b77f85ef19d60a696111300d"
+          "6c12ac72b3598e248a0b6ae3d0", 1),                           # poll
+    (383, "{527}aaaa18bfabff914b5f44cc607755b77e85b859dc2aa3e7533408"
+          "6446ad7697318727ba28483cb29dbcc4dbf590a1bda70bc037641553"
+          "ce80c9ef34a93240887f0cec", 1),                             # route
+    (383, "{751}aaaa18bfddff5906191ea95da506e78aee1a3e0f2ca46fb136cf"
+          "c580cd683ff00deb0551f3a99e2293dcaa9f23353e93dd14241e5949"
+          "5b6d6e6077bb59918de01ec60a9a273689531998ad7697318727ba28"
+          "487c90b09ce6f91d70db971a", 1),                             # ipv6
+    # batch 54: bresser garden (full message-type coverage)
+    (384, "{312}aaf3e9105e519c0d001fb50500470f09090e060008882f859402"
+          "000000000000000000000012c5", 1),                           # 0x09
+    (384, "{312}aaf3e9105e51c20e00019c0d001f230a0906061708882f859402"
+          "00000000000000000000005ac0", 1),                           # 0x0a
+    (384, "{312}aaf3e9105e519c0d001fc20e0001238a01000000000000000000"
+          "000000000000000000000039d0", 1),                           # 0x8a
+    (384, "{312}aaf3e9105e51c20e00019c0d001f17040e060101adaee4192105"
+          "0000003c00000000000000d8e0", 1),                           # 0x04
+    (384, "{312}aaf3e9105e519c0d001fc20e00012a850f0078000f002c01062e"
+          "00004200ec0000000000009490", 1),                           # 0x85
+    (384, "{312}aaf3e9105e519c0d001fc20e00012b860f01bf9e4c5802000080"
+          "00882c01640000000000001e01", 1),                           # 0x86
+    (384, "{312}aaf3e9105e51c20e00019c0d001f2c020f060b01419f1e000000"
+          "81b004adb00400000000001708", 1),                           # 0x02
+    (384, "{312}aaf3e9105e5100000000b50500470101080eff47470000350700"
+          "000000000000000000000018f1", 1),                           # 0x01
 ]
 
 
