@@ -39,7 +39,8 @@ def main():
     n = int(os.environ.get("BENCH_BLOCK", "131072" if on_tpu else "16384"))
     reps = int(os.environ.get("BENCH_REPS", "4"))
 
-    params = DetectorParams(sample_rate=250_000, unroll=16 if on_tpu else 1)
+    params = DetectorParams(sample_rate=250_000, unroll=16 if on_tpu else 1,
+                            pallas_frontend=on_tpu)
 
     from rtl_433_tpu.dsp.engine import process_block
     import functools

@@ -94,6 +94,8 @@ class DetectorParams(NamedTuple):
                                       # 16 on TPU amortizes loop overhead,
                                       # must stay small on CPU (XLA CPU
                                       # compiles large bodies superlinearly)
+    pallas_frontend: bool = False     # fused Pallas kernel for the AM/FM
+                                      # estimators + IIRs (TPU; bit-exact)
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -165,34 +167,43 @@ def _onehot_write(buf, wpos, value, valid):
 
 
 def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
-          masked: bool = True):
+          masked: bool = True, prefiltered: bool = False):
     """One sample for all channels. Mirrors pulse_detect_package's while-loop
     body (ref src/pulse_detect.c:293-476) plus the two IIRs.
 
     ``masked=False`` compiles the streaming hot path without the padded-tail
     freezing (callers guarantee every sample is valid).
+    ``prefiltered=True`` takes ``xs`` as already IIR-filtered (am, fm) from
+    the fused Pallas front-end kernel and skips the in-scan IIRs.
     """
     am_raw, phi, t, active = xs
     am_raw = am_raw.astype(jnp.int32)
     phi = phi.astype(jnp.int32)
     r = dict(regs)
 
-    # ---- AM low-pass (ref src/baseband.c:161-163), int16 store-truncation
-    am = (baseband.AM_LP_A1 * r["lp_y"] + baseband.AM_LP_B * (am_raw + r["lp_x"])) >> 14
-    am = am.astype(jnp.int16).astype(jnp.int32)
-    r["lp_y"], r["lp_x"] = am, am_raw
-
-    # ---- FM low-pass (ref src/baseband.c:263-264). With FM demod disabled
-    # the reference's fm buffer is a union alias of the raw envelope
-    # scratch (dm_state buf.temp == buf.fm, ref include/r_private.h), so
-    # the detector's fm_data IS the raw envelope — reproduced by the
-    # caller passing phi = am_raw.
-    if params.enable_fm:
-        fm = (fm_alp1 * r["fm_y"] + fm_blp * (phi + r["fm_phi_prev"])) >> 14
-        fm = fm.astype(jnp.int16).astype(jnp.int32)
-        r["fm_y"], r["fm_phi_prev"] = fm, phi
-    else:
+    if prefiltered:
+        am = am_raw
         fm = phi
+    else:
+        # ---- AM low-pass (ref src/baseband.c:161-163), int16
+        # store-truncation
+        am = (baseband.AM_LP_A1 * r["lp_y"]
+              + baseband.AM_LP_B * (am_raw + r["lp_x"])) >> 14
+        am = am.astype(jnp.int16).astype(jnp.int32)
+        r["lp_y"], r["lp_x"] = am, am_raw
+
+        # ---- FM low-pass (ref src/baseband.c:263-264). With FM demod
+        # disabled the reference's fm buffer is a union alias of the raw
+        # envelope scratch (dm_state buf.temp == buf.fm, ref
+        # include/r_private.h), so the detector's fm_data IS the raw
+        # envelope — reproduced by the caller passing phi = am_raw.
+        if params.enable_fm:
+            fm = (fm_alp1 * r["fm_y"]
+                  + fm_blp * (phi + r["fm_phi_prev"])) >> 14
+            fm = fm.astype(jnp.int16).astype(jnp.int32)
+            r["fm_y"], r["fm_phi_prev"] = fm, phi
+        else:
+            fm = phi
 
     st = r["ook_state"]
     is_idle = st == ST_IDLE
@@ -720,13 +731,25 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     if n_valid is not None:
         n_valid = jnp.asarray(n_valid, jnp.int32)
 
-    # Pass A: vectorized estimators (ref src/r_flow.c:151-162)
-    if params.use_mag_est:
+    # Pass A: estimators + IIRs. The Pallas path fuses AM estimation, the
+    # AM low-pass, the FM discriminator and the FM low-pass in one kernel
+    # (ref src/r_flow.c:151-194 equivalents); the fallback computes the
+    # elementwise parts here and the IIRs inside the scan step.
+    prefiltered = bool(params.pallas_frontend)
+    if prefiltered:
+        from ..ops.frontend import frontend as _pallas_frontend
+        am_raw, phi, state, avg_db = _pallas_frontend(
+            iq, state, sample_rate=params.sample_rate,
+            use_mag_est=params.use_mag_est, enable_fm=params.enable_fm,
+            fm_low_pass=params.fm_low_pass, fsk_minmax=params.fsk_minmax,
+            n_valid=n_valid, time_major=True)
+        alp1, blp = 0, 0
+    elif params.use_mag_est:
         am_raw, avg_db = baseband.magnitude_est_cu8(iq)
     else:
         am_raw, avg_db = baseband.envelope_detect_cu8(iq)
 
-    if params.enable_fm:
+    if not prefiltered and params.enable_fm:
         phi, _, _ = baseband.fm_discriminate_cu8(iq, state["fm_xr"], state["fm_xi"])
         # carry the last *valid* IQ sample for the next block's discriminator
         last = N - 1 if n_valid is None else jnp.maximum(n_valid - 1, 0)
@@ -735,7 +758,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         state = dict(state, fm_xr=xr, fm_xi=xi)
         alp1, blp = baseband.fm_coeffs(params.sample_rate, params.fm_low_pass,
                                        params.fsk_minmax)
-    else:
+    elif not prefiltered:
         # FM disabled: the detector sees the raw envelope (union-alias
         # behavior of the reference's buf.temp/buf.fm)
         phi = am_raw
@@ -756,10 +779,16 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     # time-major [n_chunks, Ts/U, U, C] slices: the scan iterates Ts/U times
     # per chunk, each iteration processing U samples inline (amortizes the
     # TPU while-loop per-iteration overhead)
-    am_x = am_raw.astype(jnp.int32).swapaxes(0, 1).reshape(
-        n_chunks, Ts // U, U, C)
-    phi_x = phi.astype(jnp.int32).swapaxes(0, 1).reshape(
-        n_chunks, Ts // U, U, C)
+    if prefiltered:
+        # the kernel already emitted time-major streams: pure reshape, no
+        # transpose pass over HBM (the scan casts per-step slices to int32)
+        am_x = am_raw.reshape(n_chunks, Ts // U, U, C)
+        phi_x = phi.reshape(n_chunks, Ts // U, U, C)
+    else:
+        am_x = am_raw.astype(jnp.int32).swapaxes(0, 1).reshape(
+            n_chunks, Ts // U, U, C)
+        phi_x = phi.astype(jnp.int32).swapaxes(0, 1).reshape(
+            n_chunks, Ts // U, U, C)
     t_x = jnp.arange(N, dtype=jnp.int32).reshape(n_chunks, Ts // U, U)
 
     def chunk_body(carry, xs):
@@ -772,7 +801,8 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
                 act = None if n_valid is None else t_u[u] < n_valid
                 rr, _ = _step(params, alp1, blp, rr,
                               (am_u[u], phi_u[u], t_u[u], act),
-                              masked=n_valid is not None)
+                              masked=n_valid is not None,
+                              prefiltered=prefiltered)
             return rr, ()
 
         rr, _ = lax.scan(step, carry, (am_c, phi_c, t_c))
