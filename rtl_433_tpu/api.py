@@ -149,10 +149,17 @@ class RtlTpu:
             iq = np.pad(iq, ((0, 0), (0, pad), (0, 0)), constant_values=128)
         # full blocks take the unmasked streaming hot path (n_valid=None)
         n_valid = None if pad == 0 else jnp.int32(N)
+        iq0 = iq[0, :N]
         if self.samp_grab is not None:
-            self.samp_grab.push(iq[0, :N] if iq.ndim == 3 else iq[:N])
-        for dumper in self.dumpers:
-            dumper.push(iq[0, :N] if iq.ndim == 3 else iq[:N])
+            self.samp_grab.push(iq0)
+        # filtered am/fm streams for -w dumpers (ref src/r_flow.c:439-455);
+        # computed host-side for channel 0 from the pre-update IIR carries
+        am_f = fm_f = None
+        if any(d.wants_streams for d in self.dumpers):
+            am_f, fm_f = self._dumper_streams(iq0)
+        self._logic_buf = (np.zeros(N, np.uint8)
+                           if any(d.wants_logic for d in self.dumpers)
+                           else None)
         self._state, avg_db = self._jit(self._state, jnp.asarray(iq),
                                         n_valid, flush=flush)
         pkgs, self._state = take_packages(self._state)
@@ -162,8 +169,38 @@ class RtlTpu:
             events += self._handle_package(pkg, N)
         if events:
             self.frames_events += 1
+        for dumper in self.dumpers:
+            dumper.push(iq0, am=am_f, fm=fm_f, logic=self._logic_buf)
+        self._logic_buf = None
         self._stream_pos += N
         return events
+
+    def _dumper_streams(self, iq0: np.ndarray):
+        """Filtered am/fm for channel 0, bit-exact with the engine's
+        in-scan IIRs (ref src/r_flow.c:163-194 equivalents)."""
+        from .dsp import baseband as bb
+        st = self._state
+        g0 = lambda k: int(np.asarray(st[k])[0])
+        if self.use_mag_est:
+            am_raw, _ = bb.magnitude_est_cu8(iq0[None])
+        else:
+            am_raw, _ = bb.envelope_detect_cu8(iq0[None])
+        am_raw = np.asarray(am_raw)[0]
+        am_f, _ = bb.am_lowpass_np(am_raw, g0("lp_y"), g0("lp_x"))
+        if self._params.enable_fm:
+            import jax.numpy as jnp
+            phi, _, _ = bb.fm_discriminate_cu8(
+                jnp.asarray(iq0)[None],
+                jnp.asarray([g0("fm_xr")], jnp.int32),
+                jnp.asarray([g0("fm_xi")], jnp.int32))
+            alp1, blp = bb.fm_coeffs(self.sample_rate,
+                                     self._params.fm_low_pass,
+                                     self._params.fsk_minmax)
+            fm_f, _ = bb.fm_lowpass_np(np.asarray(phi)[0], alp1, blp,
+                                       g0("fm_y"), g0("fm_phi_prev"))
+        else:
+            fm_f = am_raw
+        return am_f.astype(np.int16), np.asarray(fm_f).astype(np.int16)
 
     def _handle_package(self, pkg: dict, block_len: int) -> int:
         pd = PulseData(
@@ -180,6 +217,10 @@ class RtlTpu:
         is_fsk = pkg["type"] == PKG_FSK
         self._last_pd = pd
         self._last_is_fsk = is_fsk
+        if getattr(self, "_logic_buf", None) is not None:
+            from .pulse.data import pulse_data_dump_raw
+            pulse_data_dump_raw(self._logic_buf, self._stream_pos, pd,
+                                0x04 if is_fsk else 0x02)
         cb = functools.partial(self._event_cb, pd=pd, is_fsk=is_fsk)
         if is_fsk:
             n = self.registry.run_fsk_demods(pd, cb)

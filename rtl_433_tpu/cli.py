@@ -175,9 +175,19 @@ def main(argv=None):
     for spec in flex_specs:
         rx.registry.add_device(flex_create_device(spec))
 
+    sr_filename = None
     for spec in dumper_specs:
         from .io.grab import Dumper
-        rx.dumpers.append(Dumper(spec, rate))
+        if spec.endswith(".sr"):
+            # PulseView session: register the sigrok channel set
+            # (ref src/r_api.c:1089-1099, 1177-1181)
+            sr_filename = spec
+            for ch in ("U8:LOGIC:logic-1-1", "F32:I:analog-1-4-1",
+                       "F32:Q:analog-1-5-1", "F32:AM:analog-1-6-1",
+                       "F32:FM:analog-1-7-1"):
+                rx.dumpers.append(Dumper(ch, rate))
+        else:
+            rx.dumpers.append(Dumper(spec, rate))
     if grab_mode is not None and grab_mode != "none":
         from .io.grab import SampGrab
         rx.samp_grab = SampGrab(rate, freq, mode=grab_mode or "all")
@@ -274,6 +284,9 @@ def main(argv=None):
         close()
     for d in rx.dumpers:
         d.close()
+    if sr_filename:
+        from .io.sigrok import write_sigrok
+        write_sigrok(sr_filename, rate, 3, 4)
     if test_codes and n_events == 0:
         return 1
     return 0

@@ -255,3 +255,36 @@ def fm_coeffs32(samp_rate: int, low_pass: float, fsk_minmax: bool):
     alp1 = int((ita - 1.0) * gain * (1 << 30))
     blp = int(gain * (1 << 30))
     return alp1, blp
+
+
+# ---------------------------------------------------------------------------
+# host-side sequential filters for the -w stream dumpers (single channel,
+# offline; the hot path computes these on device in the engine/kernel)
+
+def am_lowpass_np(am_raw, y0=0, x0=0):
+    """AM low-pass over a [N] int stream (ref src/baseband.c:161-168).
+    Returns (filtered int16-truncated array, (y, x) carry)."""
+    import numpy as np
+    am_raw = np.asarray(am_raw, np.int64)
+    out = np.empty_like(am_raw)
+    y, x = int(y0), int(x0)
+    for n in range(am_raw.shape[0]):
+        v = (AM_LP_A1 * y + AM_LP_B * (am_raw[n] + x)) >> 14
+        v = ((int(v) & 0xFFFF) ^ 0x8000) - 0x8000
+        out[n] = v
+        y, x = v, int(am_raw[n])
+    return out, (y, x)
+
+
+def fm_lowpass_np(phi, alp1, blp, y0=0, p0=0):
+    """FM low-pass over a [N] int stream (ref src/baseband.c:263-271)."""
+    import numpy as np
+    phi = np.asarray(phi, np.int64)
+    out = np.empty_like(phi)
+    y, p = int(y0), int(p0)
+    for n in range(phi.shape[0]):
+        v = (alp1 * y + blp * (phi[n] + p)) >> 14
+        v = ((int(v) & 0xFFFF) ^ 0x8000) - 0x8000
+        out[n] = v
+        y, p = v, int(phi[n])
+    return out, (y, p)

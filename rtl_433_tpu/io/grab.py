@@ -71,19 +71,49 @@ class Dumper:
     """-w <spec> stream dumper (ref src/r_flow.c:386-489). Converts the
     CU8 stream to the requested content type and appends to a file."""
 
+    # named-channel specs used by the sigrok dumper set
+    # (ref src/r_api.c:1089-1099 add_sr_dumper)
+    _NAMED = {"U8:LOGIC:": "logic", "F32:I:": "i.f32", "F32:Q:": "q.f32",
+              "F32:AM:": "am.f32", "F32:FM:": "fm.f32"}
+
     def __init__(self, spec: str, sample_rate: int = 250_000):
-        from .fileformat import parse_filename
-        info = parse_filename(spec)
-        self.format = (info.format or "cu8").lower()
-        self.path = info.path
+        fmt = None
+        path = spec
+        for prefix, f in self._NAMED.items():
+            if spec.upper().startswith(prefix):
+                fmt = f
+                path = spec[len(prefix):]
+                break
+        if fmt is None:
+            from .fileformat import parse_filename
+            info = parse_filename(spec)
+            fmt = (info.format or "cu8").lower()
+            path = info.path
+        self.format = fmt
+        self.path = path
         self.sample_rate = sample_rate
         self.file = open(self.path, "wb")
 
+    @property
+    def wants_streams(self) -> bool:
+        """True when this dumper needs the filtered am/fm sample streams."""
+        return self.format in ("am.s16", "am", "fm.s16", "fm",
+                               "am.f32", "fm.f32")
+
+    @property
+    def wants_logic(self) -> bool:
+        return self.format == "logic"
+
     def push(self, iq: np.ndarray, am: Optional[np.ndarray] = None,
-             fm: Optional[np.ndarray] = None):
-        """iq: CU8 [N, 2]; am/fm: int16 [N] when available."""
+             fm: Optional[np.ndarray] = None,
+             logic: Optional[np.ndarray] = None):
+        """iq: CU8 [N, 2]; am/fm: int16 [N]; logic: uint8 [N]."""
         fmt = self.format
-        if fmt == "cu8":
+        if fmt == "logic":
+            if logic is not None:
+                self.file.write(np.ascontiguousarray(logic,
+                                                     np.uint8).tobytes())
+        elif fmt == "cu8":
             self.file.write(np.ascontiguousarray(iq, np.uint8).tobytes())
         elif fmt == "cs8":
             self.file.write((iq.astype(np.int16) - 128)
@@ -92,7 +122,8 @@ class Dumper:
             self.file.write(((iq.astype(np.int16) - 128) << 8)
                             .astype(np.int16).tobytes())
         elif fmt == "cf32":
-            self.file.write(((iq.astype(np.float32) - 127.5) / 127.5)
+            # scale from Q0.7 (ref src/r_flow.c:425-428)
+            self.file.write(((iq.astype(np.float32) - 128) / 128.0)
                             .astype(np.float32).tobytes())
         elif fmt in ("am.s16", "am"):
             if am is not None:
@@ -101,18 +132,20 @@ class Dumper:
             if fm is not None:
                 self.file.write(np.ascontiguousarray(fm, np.int16).tobytes())
         elif fmt == "am.f32":
+            # scale from Q0.15 (ref src/r_flow.c:444-448)
             if am is not None:
-                self.file.write((am.astype(np.float32) / 16384.0)
+                self.file.write((am.astype(np.float32) / 32768.0)
                                 .astype(np.float32).tobytes())
         elif fmt == "fm.f32":
             if fm is not None:
                 self.file.write((fm.astype(np.float32) / 32768.0)
                                 .astype(np.float32).tobytes())
         elif fmt == "i.f32":
-            self.file.write(((iq[:, 0].astype(np.float32) - 127.5) / 127.5)
+            # scale from Q0.7 (ref src/r_flow.c:456-467)
+            self.file.write(((iq[:, 0].astype(np.float32) - 128) / 128.0)
                             .astype(np.float32).tobytes())
         elif fmt == "q.f32":
-            self.file.write(((iq[:, 1].astype(np.float32) - 127.5) / 127.5)
+            self.file.write(((iq[:, 1].astype(np.float32) - 128) / 128.0)
                             .astype(np.float32).tobytes())
         else:
             raise ValueError(f"unsupported dump format: {fmt}")

@@ -227,3 +227,24 @@ def rfraw_parse(line: str, sample_rate: int = 250_000):
             pd.pulse.extend(base_p)
             pd.gap.extend(base_g)
     return pd if pd.pulse else None
+
+
+def pulse_data_dump_raw(buf, buf_offset: int, pd: "PulseData",
+                        bits: int) -> None:
+    """Mark pulse/gap spans into a per-block U8 logic buffer
+    (ref src/pulse_data.c:58-67): ``0x01|bits`` over pulses, ``0x01``
+    over gaps, clipped to the buffer bounds. ``bits``: 0x02 OOK, 0x04 FSK.
+    """
+    n = len(buf)
+    pos = int(pd.offset) - int(buf_offset)
+    for p, g in zip(pd.pulse, pd.gap):
+        lo = max(pos, 0)
+        hi = min(pos + int(p), n)
+        if hi > lo:
+            buf[lo:hi] = 0x01 | bits
+        pos += int(p)
+        lo = max(pos, 0)
+        hi = min(pos + int(g), n)
+        if hi > lo:
+            buf[lo:hi] = 0x01
+        pos += int(g)
