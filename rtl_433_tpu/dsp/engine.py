@@ -791,10 +791,14 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
             n_chunks, Ts // U, U, C)
     t_x = jnp.arange(N, dtype=jnp.int32).reshape(n_chunks, Ts // U, U)
 
-    def chunk_body(carry, xs):
-        am_c, phi_c, t_c = xs
-        g0 = carry["gen"]
+    # keys the per-sample FSM reads/writes; the big pulse/output buffers
+    # (buf_*, out_*, n_pkg_drop) are only touched by the drain, and keeping
+    # them out of the fast-path cond avoids copying them through its
+    # branches every chunk
+    drain_only_keys = ("buf_p", "buf_g", "out_p", "out_g", "out_meta",
+                       "out_n")
 
+    def fsm_scan(carry, am_c, phi_c, t_c):
         def step(rr, x):
             am_u, phi_u, t_u = x
             for u in range(U):
@@ -806,12 +810,79 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
             return rr, ()
 
         rr, _ = lax.scan(step, carry, (am_c, phi_c, t_c))
+        return rr
+
+    def full_chunk(carry, am_c, phi_c, t_c, g0):
+        rr = fsm_scan(carry, am_c, phi_c, t_c)
         # drain only when the chunk produced records or EOPs — noise
         # chunks (the common case) skip the dedup/scatter/publish work
         has_work = jnp.any(rr["ring_wpos"] > 0) | jnp.any(rr["eop_wpos"] > 0)
+        return lax.cond(has_work,
+                        lambda c: _drain(params, c, g0),
+                        lambda c: c, rr)
+
+    def quiet_chunk(carry, am_c):
+        """All-idle fast path: when every channel stays IDLE and below
+        threshold for the whole chunk, the only live state is the noise
+        EWMA (ref src/pulse_detect.c:326-333) — ~6 ops/sample instead of
+        the full FSM. The caller proves the precondition with a
+        conservative threshold lower bound, so this is bit-exact.
+        """
+        def step(low, am_u):
+            for u in range(U):
+                am = am_u[u].astype(jnp.int32)
+                delta = am - low
+                low = low + _tdiv(delta, OOK_EST_LOW_RATIO) + \
+                    jnp.where(delta > 0, 1, -1)
+            return low, ()
+
+        low, _ = lax.scan(step, carry["low_est"], am_c)
+        r = dict(carry)
+        r["low_est"] = low
+        # idle high_est tracks the final low (ref src/pulse_detect.c:331)
+        r["high_est"] = jnp.maximum(params.ook_high_low_ratio * low,
+                                    params.ook_min_high_level)
+        # lead_in increments once per sample until it exceeds the ratio
+        # (ref src/pulse_detect.c:333)
+        room = jnp.maximum((OOK_EST_LOW_RATIO + 1) - r["lead_in"], 0)
+        r["lead_in"] = r["lead_in"] + jnp.minimum(room, Ts)
+        return r
+
+    def chunk_body(carry, xs):
+        am_c, phi_c, t_c = xs
+        g0 = carry["gen"]
+        # The all-idle fast path needs the *filtered* am stream and kernel-
+        # owned IIR carries, i.e. the Pallas front-end; the fallback path
+        # computes the IIRs inside _step so every sample must run it.
+        if n_valid is not None or not prefiltered:
+            return full_chunk(carry, am_c, phi_c, t_c, g0), ()
+        # fast-path proof: all channels IDLE, and no sample can cross the
+        # (conservatively lower-bounded) hysteresis threshold this chunk.
+        # low_est never drops below min(low0, chunk min am) - 2 during an
+        # all-idle chunk (EWMA overshoot is at most the +-1 nudge), and
+        # idle high_est >= min_high_level, so thr >= (low_lb + high_lb)/2.
+        am_i32 = am_c.astype(jnp.int32)
+        am_max = jnp.max(am_i32, axis=(0, 1))
+        am_min = jnp.min(am_i32, axis=(0, 1))
+        all_idle = jnp.all(carry["ook_state"] == ST_IDLE)
+        low_lb = jnp.minimum(carry["low_est"], am_min) - 2
+        high_lb = min(params.ook_min_high_level, OOK_MAX_HIGH_LEVEL)
+        if params.ook_fixed_high_level != 0:
+            thr_lb = jnp.full_like(low_lb, params.ook_fixed_high_level - 1)
+        else:
+            thr_lb = _tdiv(low_lb + high_lb, 2) - 1
+        quiet = all_idle & jnp.all((am_max <= thr_lb) & (thr_lb >= 0))
+        small = {k: v for k, v in carry.items() if k not in drain_only_keys}
+        small = lax.cond(quiet,
+                         lambda c: quiet_chunk(c, am_c),
+                         lambda c: fsm_scan(c, am_c, phi_c, t_c),
+                         small)
+        carry = dict(carry, **small)
+        has_work = jnp.any(carry["ring_wpos"] > 0) | \
+            jnp.any(carry["eop_wpos"] > 0)
         carry = lax.cond(has_work,
                          lambda c: _drain(params, c, g0),
-                         lambda c: c, rr)
+                         lambda c: c, carry)
         return carry, ()
 
     regs, _ = lax.scan(chunk_body, regs, (am_x, phi_x, t_x))
