@@ -318,33 +318,155 @@ class RtlTpu:
 
     def run_live(self, device: str = "rtl_tcp:localhost:1234",
                  max_blocks: Optional[int] = None,
-                 block_samples: int = DEFAULT_BUF_SAMPLES) -> int:
-        """Live receive loop over rtl_tcp (the TPU analogue of
-        start_sdr + acquire loop, ref src/rtl_433.c:1284, src/sdr.c:1718).
+                 block_samples: int = DEFAULT_BUF_SAMPLES,
+                 run_mode: str = "quit", frequencies=None, hop_times=None,
+                 after_events: Optional[str] = None,
+                 duration: Optional[float] = None,
+                 watchdog_interval: float = 1.5) -> int:
+        """Live receive loop over rtl_tcp with supervision (the TPU
+        analogue of start_sdr + acquire loop + timer_handler,
+        ref src/rtl_433.c:1284, :1352-1425, src/sdr.c:1718).
 
-        Returns the number of events decoded. `max_blocks` bounds the run
-        (None = until the server closes or `stop_live()` is called).
+        - ``run_mode`` (-D): quit | restart | pause | manual — action when
+          the stream stalls (no frame for a watchdog interval past grace).
+        - ``frequencies``/``hop_times`` (-f/-H): hop over the frequency
+          list every hop_times[i] seconds (last entry repeats),
+          SIGUSR1 hops immediately (ref src/rtl_433.c:1165-1177).
+        - ``after_events`` (-E): "quit" or "hop" after a successful event
+          (ref src/rtl_433.c:1136-1143).
+        - ``duration`` (-T): stop after this many seconds.
+
+        Returns the number of events decoded; ``self.exit_code`` is 3
+        after a stall-quit (ref src/rtl_433.c:1412).
         """
         from .io.rtltcp import RtlTcpClient
         spec = device.split(":")
         assert spec[0] == "rtl_tcp", f"unsupported device: {device}"
         host = spec[1] if len(spec) > 1 and spec[1] else "localhost"
         port = int(spec[2]) if len(spec) > 2 else 1234
-        self._live = RtlTcpClient(host, port, block_samples=block_samples)
-        self._live.connect()
-        self._live.set_sample_rate(self.sample_rate)
-        self._live.set_center_freq(int(self.center_frequency))
+        freqs = [int(f) for f in (frequencies or [self.center_frequency])]
+        hops = list(hop_times or [600])
         start = len(self.events)
         if self.report_time == "off":
             self.report_time = "iso"
+        self.exit_code = 0
+        self._watchdog = 0
+        self._dev_state = "starting"   # starting|grace|started|stopped
+        self._hop_now = False
+        self._exit_async = False
+        freq_index = 0
+        hop_start = _time.monotonic()
+        t_end = None if duration is None else _time.monotonic() + duration
+
+        self._install_live_signals()
+
+        def connect():
+            cli = RtlTcpClient(host, port, block_samples=block_samples)
+            cli.connect()
+            cli.set_sample_rate(self.sample_rate)
+            cli.set_center_freq(freqs[freq_index])
+            self._dev_state = "starting"
+            self._watchdog = 0
+            return cli
+
+        def watchdog_tick():
+            """Stall detection state machine (ref src/rtl_433.c:1366-1421)."""
+            if getattr(self, "_sig_hup", False):
+                self._sig_hup = False
+                for d in self.dumpers:
+                    try:
+                        d.file.flush()
+                    except OSError:
+                        pass
+            if self._watchdog != 0:
+                self._dev_state = "started"
+                self._watchdog = 0
+                return
+            if self._dev_state == "starting":
+                self._dev_state = "grace"
+                return
+            # stalled (grace with no first frame, or started and dried up)
+            self._dev_state = "stopped"
+            self.exit_code = 3
+            if run_mode == "quit":
+                self._exit_async = True
+            self._live.stop()
 
         def on_block(iq):
+            nonlocal freq_index, hop_start
+            self._watchdog += 1
+            before = len(self.events)
             self.push_block(iq)
+            got = len(self.events) - before
+            if after_events and got > 0:
+                if after_events == "quit":
+                    self._exit_async = True
+                    self._live.stop()
+                else:
+                    self._hop_now = True
+            now = _time.monotonic()
+            if t_end is not None and now >= t_end:
+                self._exit_async = True
+                self._live.stop()
+            hop_index = min(freq_index, len(hops) - 1)
+            if len(freqs) > 1 and now - hop_start >= hops[hop_index]:
+                self._hop_now = True
+            if getattr(self, "_sig_hop", False):
+                self._sig_hop = False
+                self._hop_now = True
+            if self._hop_now and not self._exit_async:
+                self._hop_now = False
+                hop_start = now
+                freq_index = (freq_index + 1) % len(freqs)
+                self.center_frequency = float(freqs[freq_index])
+                self._live.set_center_freq(freqs[freq_index])
 
-        self._live.run(on_block, max_blocks=max_blocks)
+        import threading
+        while True:
+            try:
+                self._live = connect()
+            except (OSError, ConnectionError):
+                self.exit_code = 3
+                break
+            stop_timer = threading.Event()
+
+            def timer_loop():
+                while not stop_timer.wait(watchdog_interval):
+                    watchdog_tick()
+
+            timer = threading.Thread(target=timer_loop, daemon=True)
+            timer.start()
+            try:
+                self._live.run(on_block, max_blocks=max_blocks)
+            finally:
+                stop_timer.set()
+                timer.join(timeout=2 * watchdog_interval)
+            if self._exit_async or max_blocks is not None:
+                break
+            if self._dev_state == "stopped" and run_mode == "restart":
+                continue  # reconnect (ref start_sdr restart path)
+            break
         return len(self.events) - start
 
+    def _install_live_signals(self):
+        """SIGHUP reopen + SIGUSR1 hop (ref src/rtl_433.c:1036-1070);
+        no-op off the main thread or on platforms without the signals."""
+        import signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return
+        self._sig_hup = False
+        self._sig_hop = False
+        try:
+            signal.signal(signal.SIGHUP,
+                          lambda *_: setattr(self, "_sig_hup", True))
+            signal.signal(signal.SIGUSR1,
+                          lambda *_: setattr(self, "_sig_hop", True))
+        except (ValueError, AttributeError, OSError):
+            pass
+
     def stop_live(self):
+        self._exit_async = True
         if getattr(self, "_live", None):
             self._live.stop()
 

@@ -56,6 +56,11 @@ def main(argv=None):
 
     device = None
     max_samples = None
+    run_mode = "quit"
+    hop_times = []
+    frequencies = []
+    after_events = None
+    duration = None
     dumper_specs = []
     grab_mode = None
     tag_specs = []
@@ -98,7 +103,17 @@ def main(argv=None):
             grab_mode = val()
         elif a == "-K":
             tag_specs.append(val())
-        elif a in ("-G", "-b", "-l", "-p", "-g", "-t", "-H", "-T", "-E",
+        elif a == "-D":
+            run_mode = val()
+            if run_mode not in ("quit", "restart", "pause", "manual"):
+                run_mode = "quit"
+        elif a == "-H":
+            hop_times.append(_metric(val()))
+        elif a == "-E":
+            after_events = val()
+        elif a == "-T":
+            duration = _metric(val())
+        elif a in ("-G", "-b", "-l", "-p", "-g", "-t",
                    "-I", "-z", "-x", "-a"):
             val()  # accepted for CLI compat; no-op or handled elsewhere
         elif a == "-r":
@@ -118,6 +133,7 @@ def main(argv=None):
             protocols.append((not neg, int(num), parg or None))
         elif a == "-f":
             freq = _metric(val())
+            frequencies.append(freq)
         elif a == "-s":
             rate = int(_metric(val()))
         elif a == "-Y":
@@ -268,14 +284,17 @@ def main(argv=None):
             from .api import DEFAULT_BUF_SAMPLES
             max_blocks = max(1, max_samples // DEFAULT_BUF_SAMPLES)
         try:
-            rx.run_live(device, max_blocks=max_blocks)
+            rx.run_live(device, max_blocks=max_blocks, run_mode=run_mode,
+                        frequencies=frequencies or None,
+                        hop_times=hop_times or None,
+                        after_events=after_events, duration=duration)
         except (ConnectionError, OSError) as e:
             print(f"error: cannot open SDR: {e}", file=sys.stderr)
             return 2
         finally:
             for close in closers:
                 close()
-        return 0
+        return getattr(rx, "exit_code", 0)
 
     if "stats" in meta:
         print(event_to_json(rx.stats_report()), flush=True)

@@ -110,3 +110,73 @@ def test_rtltcp_passthrough_server():
         np.testing.assert_array_equal(got[0], blk)
     finally:
         srv.close()
+
+
+class StallingRtlTcp(threading.Thread):
+    """Sends a few blocks, then stalls (socket stays open, no data) —
+    exercises the watchdog (ref src/rtl_433.c:1352-1425)."""
+
+    def __init__(self, iq_block, n_blocks=2, accepts=1):
+        super().__init__(daemon=True)
+        import socket
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(2)
+        self.port = self.sock.getsockname()[1]
+        self.iq_block = iq_block
+        self.n_blocks = n_blocks
+        self.accepts = accepts
+        self.n_connects = 0
+        self.stop_evt = threading.Event()
+
+    def run(self):
+        import socket as S
+        conns = []
+        try:
+            for _ in range(self.accepts):
+                conn, _ = self.sock.accept()
+                self.n_connects += 1
+                conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+                for _ in range(self.n_blocks):
+                    conn.sendall(np.ascontiguousarray(
+                        self.iq_block, np.uint8).tobytes())
+                conns.append(conn)  # keep open but silent -> stall
+            self.stop_evt.wait(30)
+        except OSError:
+            pass
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+
+def test_watchdog_stall_quit():
+    rng = np.random.default_rng(0)
+    blk = rng.integers(120, 136, size=(4096, 2), dtype=np.uint8)
+    srv = StallingRtlTcp(blk, n_blocks=2, accepts=1)
+    srv.start()
+    rx = RtlTpu(register_all=False)
+    rx.registry.register(19)
+    rx.run_live(f"rtl_tcp:127.0.0.1:{srv.port}", block_samples=4096,
+                run_mode="quit", watchdog_interval=0.3)
+    srv.stop_evt.set()
+    assert rx.exit_code == 3          # stall exit (ref src/rtl_433.c:1412)
+    assert rx._dev_state == "stopped"
+
+
+def test_watchdog_stall_restart_reconnects():
+    rng = np.random.default_rng(0)
+    blk = rng.integers(120, 136, size=(4096, 2), dtype=np.uint8)
+    srv = StallingRtlTcp(blk, n_blocks=1, accepts=2)
+    srv.start()
+    rx = RtlTpu(register_all=False)
+    rx.registry.register(19)
+    # restart mode: first stall triggers a reconnect; the second connection
+    # also stalls, and with the server then refusing further accepts the
+    # loop ends with a failed reconnect (exit_code 3 either way)
+    rx.run_live(f"rtl_tcp:127.0.0.1:{srv.port}", block_samples=4096,
+                run_mode="restart", watchdog_interval=0.3,
+                duration=6.0)
+    srv.stop_evt.set()
+    assert srv.n_connects >= 2        # the watchdog reconnected
