@@ -77,6 +77,8 @@ class RtlTpu:
         self.events: List[Event] = []
         self.sinks = []
         self.dumpers = []       # io.grab.Dumper list (-w)
+        self.raw_taps = []      # raw CU8 block callbacks (-F rtltcp,
+                                # ref include/raw_output.h)
         self.samp_grab = None   # io.grab.SampGrab (-S)
         self.taggers = []       # output.network.DataTagger list (-K)
         self._current_file = None
@@ -150,6 +152,8 @@ class RtlTpu:
         # full blocks take the unmasked streaming hot path (n_valid=None)
         n_valid = None if pad == 0 else jnp.int32(N)
         iq0 = iq[0, :N]
+        for tap in self.raw_taps:
+            tap(iq0)
         if self.samp_grab is not None:
             self.samp_grab.push(iq0)
         # filtered am/fm streams for -w dumpers (ref src/r_flow.c:439-455);
@@ -221,6 +225,12 @@ class RtlTpu:
             from .pulse.data import pulse_data_dump_raw
             pulse_data_dump_raw(self._logic_buf, self._stream_pos, pd,
                                 0x04 if is_fsk else 0x02)
+        # per-package text dumpers (ref src/r_flow.c:265-276, :308-319)
+        for dumper in self.dumpers:
+            if dumper.format == "ook":
+                dumper.write_pulses(pd)
+            elif dumper.format == "vcd":
+                dumper.write_vcd(pd, is_fsk)
         cb = functools.partial(self._event_cb, pd=pd, is_fsk=is_fsk)
         if is_fsk:
             n = self.registry.run_fsk_demods(pd, cb)

@@ -256,6 +256,13 @@ def main(argv=None):
             sink = HttpServerSink(rx, host or "0.0.0.0", int(port or 8433))
             rx.sinks.append(sink)
             closers.append(sink.close)
+        elif fmt == "rtltcp":
+            # raw IQ passthrough server (ref src/output_rtltcp.c:519)
+            from .io.rtltcp import RtlTcpServer
+            host, _, port = arg.partition(":")
+            srv = RtlTcpServer(host or "0.0.0.0", int(port or 6778))
+            rx.raw_taps.append(srv.broadcast)
+            closers.append(srv.close)
         elif fmt == "null":
             pass
         else:

@@ -92,7 +92,18 @@ class Dumper:
         self.format = fmt
         self.path = path
         self.sample_rate = sample_rate
-        self.file = open(self.path, "wb")
+        if fmt in ("ook", "vcd"):
+            self.file = open(self.path, "w")
+            if fmt == "vcd":
+                from ..pulse.data import pulse_data_print_vcd_header
+                pulse_data_print_vcd_header(self.file, sample_rate)
+        else:
+            self.file = open(self.path, "wb")
+
+    @property
+    def wants_packages(self) -> bool:
+        """True for per-package text formats (OOK pulse dump, VCD)."""
+        return self.format in ("ook", "vcd")
 
     @property
     def wants_streams(self) -> bool:
@@ -109,6 +120,8 @@ class Dumper:
              logic: Optional[np.ndarray] = None):
         """iq: CU8 [N, 2]; am/fm: int16 [N]; logic: uint8 [N]."""
         fmt = self.format
+        if fmt in ("ook", "vcd"):
+            return  # package-level formats, see write_pulses/write_vcd
         if fmt == "logic":
             if logic is not None:
                 self.file.write(np.ascontiguousarray(logic,
@@ -153,7 +166,13 @@ class Dumper:
 
     def write_pulses(self, pd):
         """OOK text dump for -w file.ook (ref src/pulse_data.c:193)."""
-        self.file.write(pd.dump().encode())
+        self.file.write(pd.dump())
+        self.file.flush()
+
+    def write_vcd(self, pd, is_fsk: bool):
+        """VCD transitions for -w file.vcd (ref src/pulse_data.c:103)."""
+        from ..pulse.data import pulse_data_print_vcd
+        pulse_data_print_vcd(self.file, pd, '"' if is_fsk else "'")
         self.file.flush()
 
     def close(self):
