@@ -121,12 +121,15 @@ class RtlTpu:
             # (ref src/rtl_433.c:1516-1526)
             enable_fm = any(d.is_fsk for d in self.registry.active)
             import jax
+            on_tpu = jax.default_backend() != "cpu"
             self._params = DetectorParams(
                 sample_rate=self.sample_rate,
                 use_mag_est=self.use_mag_est,
                 fsk_minmax=self.fsk_minmax,
                 enable_fm=enable_fm,
-                unroll=16 if jax.default_backend() != "cpu" else 1)
+                unroll=16 if on_tpu else 1,
+                # fused Pallas front-end + all-idle fast path on hardware
+                pallas_frontend=on_tpu)
             self._state = detector_init(self._params, self.channels)
             import jax
             self._jit = jax.jit(
