@@ -282,7 +282,7 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
     # starts a new pulse is never also an EOP check
     samples_per_ms = params.sample_rate // 1000
     cur_plen = r["plen"]
-    g_eop_gap = is_gap & ~g_new_pulse & (
+    g_eop_gap = is_gap & ~g_maxp & (
         (r["eop_spur"] > 0)
         | ((cur_plen > PD_MAX_GAP_RATIO * r["max_pulse"])
            & (cur_plen > PD_MIN_GAP_MS * samples_per_ms))
