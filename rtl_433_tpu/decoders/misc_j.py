@@ -157,7 +157,7 @@ _FHT_FLAGS = ["(none)", "Extended", "BS?", "Extended | BS?", "Repeat",
 def _fs20_find_preamble(bits, bitpos):
     """Preamble scan (ref src/devices/fs20.c:41)."""
     row_bits = bits.bits_per_row[0]
-    b = _ints(bits.bb[0]) + [0, 0]
+    b = _ints(bits.row_bytes(0)) + [0, 0]
     while (bitpos + 12 + 45 <= row_bits
            and (b[(bitpos // 8) + 1] == 0 or b[bitpos // 8] != 0)):
         bitpos += 8
@@ -186,7 +186,7 @@ def _fs20_get_byte(b, pos):
 def fs20(bits, dev):
     """FS20 / FHT remote (ref src/devices/fs20.c)."""
     bits.invert()
-    b = _ints(bits.bb[0]) + [0, 0]
+    b = _ints(bits.row_bytes(0)) + [0, 0]
     ext = 0
     rc = DECODE_FAIL_MIC
     bitpos = 0

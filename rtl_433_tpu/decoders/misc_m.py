@@ -133,7 +133,9 @@ def ec3k(bits, dev):
     """Voltcraft EnergyCount 3000 (ref src/devices/ec3k.c)."""
     if bits.num_rows != 1 or bits.bits_per_row[0] < 90:
         return DECODE_ABORT_LENGTH
-    row = _ints(bits.bb[0])
+    # row_bytes follows spill continuation rows: rows longer than 1024 bits
+    # (ref bitbuffer row spilling) would overrun a plain bb[0] slice
+    row = _ints(bits.row_bytes(0))
 
     def bit_at(bit):
         return (row[bit >> 3] >> (7 - (bit & 7))) & 1

@@ -256,7 +256,8 @@ def vaillant_vrt340f(bits, dev):
     """Vaillant calorMatic VRT340f (ref src/devices/vaillant_vrt340f.c)."""
     if bits.bits_per_row[0] < 128:
         return DECODE_ABORT_LENGTH
-    src = bits.bb[0]
+    # row_bytes follows spill rows (>1024-bit rows would overrun bb[0])
+    src = bits.row_bytes(0)
     out = []
     ones = 0
     for k in range(bits.bits_per_row[0]):

@@ -396,7 +396,8 @@ def lacrosse_ws7000(bits, dev):
     if start >= bits.bits_per_row[0]:
         return DECODE_ABORT_EARLY
     max_bits = min(14 * 5, bits.bits_per_row[0] - start)
-    b = list(util.extract_nibbles_4b1s(bits.bb[0].tobytes(), start, max_bits))
+    b = list(util.extract_nibbles_4b1s(bits.row_bytes(0).tobytes(), start,
+                                       max_bits))
     length = len(b)
     if length < 7:
         return DECODE_ABORT_LENGTH
