@@ -163,40 +163,56 @@ class BitBuffer:
         return out
 
     def search(self, row: int, start: int, pattern, pattern_bits_len: int) -> int:
-        """Naive bit-pattern search; returns match pos or row length.
+        """First bit-pattern match at/after ``start``; row length if none.
 
-        Ref src/bitbuffer.c:232-253 (note: same backtracking quirk kept).
+        Ref src/bitbuffer.c:232-253 (naive restart-by-one search —
+        equivalent to first-occurrence substring search). Vectorized over
+        unpacked bits; a match must end within the row.
         """
-        bits = self.bb[row:].reshape(-1)
         length = self.bits_per_row[row]
-        pattern = bytes(bytearray(pattern))
-        ipos, ppos = start, 0
-        while ipos < length and ppos < pattern_bits_len:
-            if _bit_at(bits, ipos) == _bit_at(pattern, ppos):
-                ppos += 1
-                ipos += 1
-                if ppos == pattern_bits_len:
-                    return ipos - pattern_bits_len
-            else:
-                ipos -= ppos
-                ipos += 1
-                ppos = 0
-        return length
+        plen = pattern_bits_len
+        if plen <= 0 or start < 0 or start + plen > length:
+            return length
+        bits = self.bb[row:].reshape(-1)
+        ba = np.unpackbits(bits[: (length + 7) // 8])[:length]
+        pa = np.unpackbits(np.frombuffer(bytes(bytearray(pattern)),
+                                         dtype=np.uint8))[:plen]
+        # ±1 correlation == plen exactly at a full match (BLAS-backed dot,
+        # far faster than per-window compares on long rows)
+        sig = ba[start:].astype(np.float32) * 2.0 - 1.0
+        pat = pa.astype(np.float32) * 2.0 - 1.0
+        corr = np.correlate(sig, pat, mode="valid")
+        hits = np.flatnonzero(corr >= np.float32(plen))
+        return int(start + hits[0]) if hits.size else length
 
     def manchester_decode(self, row: int, start: int, outbuf: "BitBuffer",
                           max_bits: int) -> int:
-        """IEEE 802.3: high-low is 0, low-high is 1. Ref src/bitbuffer.c:255-279."""
+        """IEEE 802.3: high-low is 0, low-high is 1. Ref src/bitbuffer.c:255-279.
+
+        Vectorized: consume bit pairs until the first equal pair (the
+        trailing half-pair read past ``length`` reads 0-padding, like the
+        reference's in-bounds stale bytes).
+        """
         bits = self.bb[row:].reshape(-1)
         length = self.bits_per_row[row]
-        ipos = start
         if max_bits and length > start + max_bits * 2:
             length = start + max_bits * 2
-        while ipos < length:
-            bit1 = _bit_at(bits, ipos); ipos += 1
-            bit2 = _bit_at(bits, ipos); ipos += 1
-            if bit1 == bit2:
-                break
-            outbuf.add_bit(bit2)
+        if start >= length:
+            return start
+        nbytes = min((length + 8) // 8 + 1, bits.size)
+        ba = np.unpackbits(bits[:nbytes])
+        b1 = ba[start:length:2]
+        # the pair's second bit may sit at index == length (reference reads it)
+        b2 = ba[start + 1:length + 1:2][: b1.size]
+        if b2.size < b1.size:
+            b2 = np.concatenate([b2, np.zeros(b1.size - b2.size, np.uint8)])
+        eq = np.flatnonzero(b1 == b2)
+        n_out = int(eq[0]) if eq.size else b1.size
+        for b in b2[:n_out]:
+            outbuf.add_bit(int(b))
+        ipos = start + 2 * n_out
+        if eq.size:
+            ipos += 2  # the terminating equal pair is consumed
         return ipos
 
     def differential_manchester_decode(self, row: int, start: int,
@@ -339,6 +355,16 @@ class BitBuffer:
             f"{{{self.bits_per_row[r]}}}{self.row_hex(r)}" for r in range(self.num_rows))
         return f"BitBuffer[{self.num_rows} rows: {rows}]"
 
+    def clone(self) -> "BitBuffer":
+        """Independent copy (decoders may mutate their input, e.g. invert)."""
+        out = BitBuffer.__new__(BitBuffer)
+        out.num_rows = self.num_rows
+        out.free_row = self.free_row
+        out.bits_per_row = list(self.bits_per_row)
+        out.syncs_before_row = list(self.syncs_before_row)
+        out.bb = self.bb.copy()
+        return out
+
     # -- tensor round-trip ---------------------------------------------------
 
     def to_arrays(self):
@@ -346,11 +372,15 @@ class BitBuffer:
         return self.bb.copy(), np.array(self.bits_per_row, np.int32), self.num_rows
 
     @classmethod
-    def from_arrays(cls, bb: np.ndarray, bits_per_row, num_rows: int) -> "BitBuffer":
+    def from_arrays(cls, bb: np.ndarray, bits_per_row, num_rows: int,
+                    syncs=None) -> "BitBuffer":
         out = cls()
         out.bb[: bb.shape[0], : bb.shape[1]] = bb
         for i, v in enumerate(np.asarray(bits_per_row).tolist()):
             out.bits_per_row[i] = int(v)
+        if syncs is not None:
+            for i, v in enumerate(np.asarray(syncs).tolist()):
+                out.syncs_before_row[i] = int(v)
         out.num_rows = int(num_rows)
         out.free_row = out.num_rows
         return out

@@ -97,6 +97,16 @@ def _load_registry_data():
     return json.load(open(path))
 
 
+# Decoders that keep cross-call state on the device (rolling-code caches,
+# discovered keys): per-package decode deduplication must not skip their
+# calls. ARG_STATEFUL decoders are stateful only when configured with a
+# -R <num>:<arg> argument (their context is otherwise empty/pure).
+STATEFUL_DECODERS = {"ikea_sparsnas", "blueline", "secplus_v1", "secplus_v2"}
+ARG_STATEFUL_DECODERS = {"vivint", "arad_ms_meter"}
+
+_MISS = object()
+
+
 class Registry:
     """Protocol registry with rtl_433 -R semantics."""
 
@@ -116,6 +126,15 @@ class Registry:
                 decode_fn=_DECODERS.get(e["symbol"]), ref_file=e["file"])
             self.slots.append(dev)
         self.active: List[RDevice] = []
+        self._version = 0
+        self._banks: dict = {}
+        # cross-package decode cache: (dev_idx, record bytes) -> decode
+        # result. Sensors repeat identical frames; pure decoders are
+        # deterministic, so byte-identical bitbuffers decode identically.
+        # Stateful decoders (STATEFUL_DECODERS) never enter this cache.
+        self._dec_cache: dict = {}
+        self._dec_cache_version = -1
+        self.dec_cache_max = 65536
 
     def __len__(self):
         return sum(1 for d in self.slots if d is not None)
@@ -129,6 +148,7 @@ class Registry:
         for dev in self.slots:
             if dev is not None and dev.disabled <= max_disabled_level:
                 self.active.append(dev)
+        self._version += 1
 
     def register(self, num: int, arg: Optional[str] = None):
         dev = self.get(num)
@@ -137,14 +157,17 @@ class Registry:
         if arg is not None:
             dev.arg = arg
         self.active.append(dev)
+        self._version += 1
         return dev
 
     def unregister(self, num: int):
         self.active = [d for d in self.active if d.num != num]
+        self._version += 1
 
     def add_device(self, dev: RDevice):
         """Register a dynamically-created decoder (flex)."""
         self.active.append(dev)
+        self._version += 1
 
     def implemented(self):
         return [d for d in self.slots if d is not None and d.decode_fn]
@@ -152,6 +175,26 @@ class Registry:
     # -- demod dispatch (ref src/r_api.c:438-550) ---------------------------
 
     def _run(self, pulses, want_fsk: bool, event_cb):
+        """Dispatch a pulse package to every matching decoder.
+
+        Uses the native batch-slicer fast path when the shared library is
+        available (one C call slices all timing specs, content-deduplicated;
+        decode calls are gated and deduplicated); falls back to the
+        per-decoder Python slicers otherwise. Both produce identical events
+        in identical order (tests/test_native_slicers.py).
+        """
+        if self._use_native():
+            try:
+                return self._run_fast(pulses, want_fsk, event_cb)
+            except RuntimeError:
+                pass
+        return self._run_host(pulses, want_fsk, event_cb)
+
+    def _use_native(self) -> bool:
+        from ..pulse import native_slicers
+        return native_slicers.available()
+
+    def _run_host(self, pulses, want_fsk: bool, event_cb):
         p_events = 0
         priority = 0
         while True:
@@ -173,6 +216,168 @@ class Registry:
             if p_events or next_priority is None:
                 break
             priority = next_priority
+        return p_events
+
+    def _get_bank(self, want_fsk: bool, sample_rate: int):
+        from ..pulse import native_slicers
+        key = (want_fsk, sample_rate, self._version)
+        bank = self._banks.get(key)
+        if bank is None:
+            devs = [d for d in self.active if d.is_fsk == want_fsk]
+            bank = native_slicers.SlicerBank(devs, sample_rate)
+            # drop banks from older registry versions
+            self._banks = {k: v for k, v in self._banks.items()
+                           if k[2] == self._version}
+            self._banks[key] = bank
+        return bank
+
+    def _run_fast(self, pulses, want_fsk: bool, event_cb):
+        """Native batch-sliced dispatch, same semantics as _run_host.
+
+        The decoder-call gate (decoders/gates.py) skips Python decode calls
+        that provably cannot produce an event; skipped calls are accounted
+        as abort_length. Within a package, byte-identical bitbuffers reach
+        each pure decoder only once (content dedup): the unique
+        (decoder, record) pairs are decoded, then per-emission accounting
+        and event delivery are replayed vectorized / in the reference's
+        temporal order.
+        """
+        import numpy as np
+        from .gates import GATES
+
+        bank = self._get_bank(want_fsk, pulses.sample_rate)
+        devs = bank.devices
+        if not devs:
+            return 0
+        pulse = np.asarray(pulses.pulse, np.int32)
+        gap = np.asarray(pulses.gap, np.int32)
+        summary, _ = bank.slice(pulse, gap)
+        if len(summary) == 0:
+            return 0
+
+        meta = bank.meta  # per-spec gate/priority arrays (built lazily)
+        if meta is None:
+            n = len(devs)
+            meta = {
+                "min_rows": np.zeros(n, np.int32),
+                "min_bits": np.zeros(n, np.int32),
+                "max_rows": np.full(n, 10**9, np.int32),
+                "priority": np.array([d.priority for d in devs], np.int32),
+                "stateful": np.array(
+                    [d.symbol in STATEFUL_DECODERS or d.decode_fn is None
+                     or (d.symbol in ARG_STATEFUL_DECODERS and d.arg)
+                     for d in devs], bool),
+            }
+            for i, d in enumerate(devs):
+                g = GATES.get(d.symbol)
+                if g and d.decode_fn is not None:
+                    meta["min_rows"][i], meta["min_bits"][i] = g[0], g[1]
+                    if len(g) > 2:
+                        meta["max_rows"][i] = g[2]
+            bank.meta = meta
+
+        # summary is ordered by spec index (= active-device order within
+        # this modulation side) then temporal emission order
+        spec_col = summary[:, 0]
+        gated = ((summary[:, 2] < meta["min_rows"][spec_col])
+                 | (summary[:, 3] < meta["min_bits"][spec_col])
+                 | (summary[:, 2] > meta["max_rows"][spec_col]))
+        prio_col = meta["priority"][spec_col]
+
+        if self._dec_cache_version != self._version:
+            self._dec_cache = {}
+            self._dec_cache_version = self._version
+        dec_cache = self._dec_cache
+        mat_cache: dict = {}
+        p_events = 0
+        priorities = np.unique(meta["priority"])
+        for priority in priorities.tolist():
+            if p_events:
+                break  # higher priorities run only while no event yet
+            in_p = prio_col == priority
+
+            # vectorized accounting of gated (skipped) calls
+            g_rows = in_p & gated
+            if g_rows.any():
+                cnt = np.bincount(spec_col[g_rows], minlength=len(devs))
+                for i in np.flatnonzero(cnt).tolist():
+                    dev = devs[i]
+                    c = int(cnt[i])
+                    dev.decode_events += c
+                    dev.decode_fails["abort_length"] = \
+                        dev.decode_fails.get("abort_length", 0) + c
+
+            live = np.flatnonzero(in_p & ~gated)
+            if live.size == 0:
+                continue
+            # unique (spec, record) pairs; first occurrence carries order
+            keys = (spec_col[live].astype(np.int64) << 32) \
+                | summary[live, 1].astype(np.int64)
+            uniq, first, inverse, counts = np.unique(
+                keys, return_index=True, return_inverse=True,
+                return_counts=True)
+
+            emitting = []  # (summary_row, dev, events) for ordered delivery
+
+            # stateful decoders: every occurrence is replayed, in temporal
+            # order (cross-call state, e.g. two-part rolling codes)
+            if meta["stateful"][spec_col[live]].any():
+                for row in live[meta["stateful"][spec_col[live]]].tolist():
+                    i = int(spec_col[row])
+                    dev = devs[i]
+                    off = int(summary[row, 1])
+                    bits = mat_cache.get(off)
+                    if bits is None:
+                        bits = bank.materialize(off)
+                        mat_cache[off] = bits
+                    ret = (dev.decode_fn(bits.clone(), dev)
+                           if dev.decode_fn else 0)
+                    events = dev.account(ret)
+                    if events:
+                        emitting.append((row, dev, events))
+
+            for k in range(uniq.size):
+                i = int(uniq[k] >> 32)
+                off = int(uniq[k] & 0xFFFFFFFF)
+                dev = devs[i]
+                n_calls = int(counts[k])
+                if meta["stateful"][i]:
+                    continue  # handled above
+                ckey = (want_fsk, i, bank.record_bytes(off))
+                ret = dec_cache.get(ckey, _MISS)
+                if ret is _MISS:
+                    bits = mat_cache.get(off)
+                    if bits is None:
+                        bits = bank.materialize(off)
+                        mat_cache[off] = bits
+                    ret = dev.decode_fn(bits.clone(), dev)
+                    if len(dec_cache) >= self.dec_cache_max:
+                        dec_cache.clear()
+                    dec_cache[ckey] = ret
+                if isinstance(ret, list) and ret:
+                    dev.decode_events += n_calls
+                    dev.decode_ok += n_calls
+                    dev.decode_messages += len(ret) * n_calls
+                    rows = live[inverse == k]
+                    for row in rows.tolist():
+                        # fresh copies: downstream prepends meta per event
+                        evs = [type(e)(list(e.fields)) for e in ret]
+                        emitting.append((row, dev, evs))
+                else:
+                    dev.decode_events += n_calls
+                    if isinstance(ret, list):
+                        name = "other"
+                    else:
+                        name = DECODE_CODE_NAMES.get(ret, "other")
+                    dev.decode_fails[name] = \
+                        dev.decode_fails.get(name, 0) + n_calls
+
+            # deliver in the reference's order: by decoder, then temporal
+            emitting.sort(key=lambda t: t[0])
+            for _, dev, events in emitting:
+                for ev in events:
+                    event_cb(dev, ev)
+                p_events += len(events)
         return p_events
 
     def run_ook_demods(self, pulses, event_cb):

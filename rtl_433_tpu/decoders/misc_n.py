@@ -15,17 +15,86 @@ from .base import (
 )
 
 
+import numpy as np
+
+
 def _ints(b):
     return [int(x) for x in b]
 
 
-def _get_byte(row, pos):
-    out = 0
-    for i in range(8):
-        p = pos + i
-        byte = int(row[p >> 3]) if (p >> 3) < len(row) else 0
-        out = (out << 1) | ((byte >> (7 - (p & 7))) & 1)
-    return out
+def _vals_at_offsets(bits) -> np.ndarray:
+    """Byte value starting at every bit offset of row 0 (zero-padded tail),
+    vectorized — replaces the reference's per-position bit peeling."""
+    row = bits.row_bytes(0)
+    ba = np.unpackbits(row)
+    ba = np.concatenate([ba, np.zeros(16, np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(ba, 8)
+    w = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.uint8)
+    return (win * w).sum(axis=1, dtype=np.int64)
+
+
+_CRC16LSB_8408 = None
+
+
+def _crc16lsb_8408_table():
+    global _CRC16LSB_8408
+    if _CRC16LSB_8408 is None:
+        t = np.zeros(256, np.int64)
+        for x in range(256):
+            r = x
+            for _ in range(8):
+                r = (r >> 1) ^ 0x8408 if r & 1 else r >> 1
+            t[x] = r
+        _CRC16LSB_8408 = t
+    return _CRC16LSB_8408
+
+
+def _elster_scan(bits, xor, two_byte_len, min_len, max_len):
+    """Sliding length+CRC16-LSB frame scan shared by both Elster formats
+    (ref src/devices/elster_power_meter.c:125, :282): first bit position
+    whose whitened length byte(s) and trailing CRC validate wins.
+
+    All candidate positions are checked in one vectorized pass: the
+    byte-at-every-offset table feeds a column-wise table-driven CRC over
+    the candidate set.
+    """
+    row_bits = bits.bits_per_row[0]
+    head = 2 if two_byte_len else 1
+    n_pos = row_bits - (min_len + 2) * 8 + 1
+    if n_pos <= 0:
+        return None, 0
+    vals = _vals_at_offsets(bits)
+    pos = np.arange(n_pos)
+    if two_byte_len:
+        cl = ((vals[:n_pos] ^ xor) << 8) | (vals[8:n_pos + 8] ^ xor)
+    else:
+        cl = vals[:n_pos] ^ xor
+    ok = (cl >= min_len) & (cl <= max_len) & (pos + (cl + 2) * 8 <= row_bits)
+    cand = np.flatnonzero(ok)
+    if cand.size == 0:
+        return None, 0
+    cl_c = cl[cand]
+    expected = ((vals[cand + cl_c * 8] ^ xor)
+                | ((vals[cand + (cl_c + 1) * 8] ^ xor) << 8))
+    table = _crc16lsb_8408_table()
+    crc = np.full(cand.size, 0xFFFF, np.int64)
+    passing = np.zeros(cand.size, bool)
+    for j in range(int(cl_c.max())):
+        feed = cl_c > j
+        # finished lanes may index past the table; clamp (value unused)
+        bj = vals[np.minimum(cand + j * 8, vals.size - 1)] ^ xor
+        nxt = (crc >> 8) ^ table[(crc ^ bj) & 0xFF]
+        crc = np.where(feed, nxt, crc)
+        done = cl_c == j + 1
+        if done.any():
+            passing |= done & ((crc ^ 0xFFFF) == expected)
+    hits = np.flatnonzero(passing)
+    if hits.size == 0:
+        return None, 0
+    p = int(cand[hits[0]])
+    length = int(cl_c[hits[0]])
+    buf = [int(v) ^ xor for v in vals[p + np.arange(length + 2) * 8]]
+    return buf, length
 
 
 @decoder("elster_power_meter")
@@ -38,23 +107,7 @@ def elster_power_meter(bits, dev):
     row_bits = bits.bits_per_row[0]
     if row_bits < (min_len + 2) * 8:
         return DECODE_ABORT_LENGTH
-    row = bits.bb[0]
-    buf = None
-    length = 0
-    for pos in range(row_bits - (min_len + 2) * 8 + 1):
-        cand_len = _get_byte(row, pos) ^ 0x55
-        if cand_len < min_len or cand_len > max_len:
-            continue
-        if pos + (cand_len + 2) * 8 > row_bits:
-            continue
-        cand = [_get_byte(row, pos + i * 8) ^ 0x55
-                for i in range(cand_len + 2)]
-        chk = util.crc16lsb(bytes(cand[:cand_len]), cand_len, 0x8408,
-                            0xFFFF) ^ 0xFFFF
-        if chk == (cand[cand_len] | (cand[cand_len + 1] << 8)):
-            buf = cand
-            length = cand_len
-            break
+    buf, length = _elster_scan(bits, 0x55, False, min_len, max_len)
     if buf is None:
         return DECODE_FAIL_MIC
     flags = buf[1]
@@ -116,25 +169,7 @@ def elster_power_meter2(bits, dev):
     row_bits = bits.bits_per_row[0]
     if row_bits < (min_len + 2) * 8:
         return DECODE_ABORT_LENGTH
-    row = bits.bb[0]
-    buf = None
-    length = 0
-    for pos in range(row_bits - (min_len + 2) * 8 + 1):
-        len_hi = _get_byte(row, pos) ^ 0xAA
-        len_lo = _get_byte(row, pos + 8) ^ 0xAA
-        cand_len = (len_hi << 8) | len_lo
-        if cand_len < min_len or cand_len > max_len:
-            continue
-        if pos + (cand_len + 2) * 8 > row_bits:
-            continue
-        cand = [_get_byte(row, pos + i * 8) ^ 0xAA
-                for i in range(cand_len + 2)]
-        chk = util.crc16lsb(bytes(cand[:cand_len]), cand_len, 0x8408,
-                            0xFFFF) ^ 0xFFFF
-        if chk == (cand[cand_len] | (cand[cand_len + 1] << 8)):
-            buf = cand
-            length = cand_len
-            break
+    buf, length = _elster_scan(bits, 0xAA, True, min_len, max_len)
     if buf is None:
         return DECODE_FAIL_MIC
     src = (buf[3] << 24) | (buf[4] << 16) | (buf[5] << 8) | buf[6]

@@ -971,6 +971,63 @@ def _flush(params: DetectorParams, r, N):
     return r
 
 
+def compact_packages(state, cap: int):
+    """Device-side package compaction: gather all published packages across
+    channels into dense ``[cap, ...]`` arrays (jit-compatible, static cap).
+
+    This replaces pulling the full ``[C, pkg_cap, max_pulses]`` buffers to
+    the host (which at 8k+ channels dominates transfer time) with one small
+    gather. Order matches :func:`take_packages` (channel-major, then slot).
+
+    Returns dict(pulse[cap,P], gap[cap,P], meta[cap,F], channel[cap],
+    count) — entries with channel == -1 are padding.
+    """
+    out_n, out_p, out_g, out_meta = (state["out_n"], state["out_p"],
+                                     state["out_g"], state["out_meta"])
+    C, S, P = out_p.shape
+    slot_i = lax.broadcasted_iota(jnp.int32, (C, S), 1)
+    valid = (slot_i < jnp.minimum(out_n, S)[:, None]).reshape(-1)
+    idx = jnp.nonzero(valid, size=cap, fill_value=-1)[0]
+    safe = jnp.maximum(idx, 0)
+    pulse = out_p.reshape(C * S, P)[safe]
+    gap = out_g.reshape(C * S, P)[safe]
+    meta = out_meta.reshape(C * S, META_FIELDS)[safe]
+    channel = jnp.where(idx >= 0, safe // S, -1)
+    count = jnp.sum(valid.astype(jnp.int32))
+    return {"pulse": pulse, "gap": gap, "meta": meta, "channel": channel,
+            "count": count}
+
+
+def packages_from_compact(comp) -> list:
+    """Host-side: turn a compact_packages result into take_packages dicts."""
+    channel = np.asarray(comp["channel"])
+    count = int(np.asarray(comp["count"]))
+    pulse = np.asarray(comp["pulse"])
+    gap = np.asarray(comp["gap"])
+    meta = np.asarray(comp["meta"])
+    pkgs = []
+    for s in range(channel.shape[0]):
+        c = int(channel[s])
+        if c < 0:
+            continue
+        m = meta[s]
+        num = int(m[M_NUM])
+        pkgs.append({
+            "channel": c,
+            "type": int(m[M_TYPE]),
+            "num_pulses": num,
+            "pulse": pulse[s, :num].copy(),
+            "gap": gap[s, :num].copy(),
+            "ook_low_estimate": int(m[M_LOW]),
+            "ook_high_estimate": int(m[M_HIGH]),
+            "fsk_f1_est": int(m[M_F1]),
+            "fsk_f2_est": int(m[M_F2]),
+            "start": int(m[M_START]),
+            "end": int(m[M_END]),
+        })
+    return pkgs, count
+
+
 def take_packages(state):
     """Host-side: pull published packages out of the state and reset slots.
 

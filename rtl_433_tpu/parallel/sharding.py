@@ -39,7 +39,8 @@ try:  # JAX >= 0.4.35
 except ImportError:  # pragma: no cover
     from jax.experimental.maps import shard_map  # type: ignore
 
-from ..dsp.engine import DetectorParams, detector_init, process_block
+from ..dsp.engine import (DetectorParams, compact_packages, detector_init,
+                          packages_from_compact, process_block, PKG_FSK)
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -130,7 +131,9 @@ class ShardedEngine:
     """
 
     def __init__(self, params: DetectorParams, channels: int,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, registry=None,
+                 center_frequency: float = 433_920_000.0,
+                 pkg_cap_total: int = 2048):
         self.params = params
         self.mesh = mesh if mesh is not None else make_mesh()
         self.channels = channels
@@ -138,13 +141,70 @@ class ShardedEngine:
         self._step = sharded_process_block(params, self.mesh, flush=False)
         self._flush_step = sharded_process_block(params, self.mesh, flush=True)
         self.noise_floor_db = None
+        self.center_frequency = center_frequency
+        self.registry = registry
+        self.pkg_cap_total = pkg_cap_total
+        self.n_pkg_dropped = 0
+        self._stream_pos = 0
+        self._compact = jax.jit(
+            functools.partial(compact_packages, cap=pkg_cap_total))
 
     def push(self, iq, n_valid=None, flush: bool = False):
         """Feed one [C, N, 2] CU8 block; returns per-channel block dB."""
         if n_valid is None:
             n_valid = iq.shape[1]
+        self._block_len = iq.shape[1]
         iq = shard_block(jnp.asarray(iq), self.mesh)
         step = self._flush_step if flush else self._step
         self.state, avg_db, noise = step(self.state, iq, jnp.int32(n_valid))
         self.noise_floor_db = noise
         return avg_db
+
+    # -- scaled event service ------------------------------------------------
+    #
+    # sharded detect -> device-side package compaction -> one small transfer
+    # -> batched slice/decode on the host -> per-channel-attributed events
+    # (the TPU-scale analogue of ref src/r_flow.c:241-340 per-package loop).
+
+    def take_packages(self):
+        """Compact + fetch all published packages (resets device slots)."""
+        comp = self._compact(self.state)
+        pkgs, count = packages_from_compact(comp)
+        if count > len(pkgs):
+            self.n_pkg_dropped += count - len(pkgs)
+        self.state = dict(self.state,
+                          out_n=jnp.zeros_like(self.state["out_n"]))
+        return pkgs
+
+    def drain_events(self, block_len: Optional[int] = None):
+        """Decode all published packages into channel-attributed events.
+
+        Requires a ``registry`` (decoders.Registry). Returns a list of
+        (channel, Event). The pulse->event path is identical to the
+        single-channel flow (same slicers, decoders, priority semantics).
+        """
+        from ..pulse.data import PulseData
+        if self.registry is None:
+            raise ValueError("ShardedEngine needs registry= for events")
+        if block_len is None:
+            block_len = getattr(self, "_block_len", 0)
+        out = []
+        for pkg in self.take_packages():
+            pd = PulseData(
+                pulse=pkg["pulse"].tolist(), gap=pkg["gap"].tolist(),
+                sample_rate=self.params.sample_rate,
+                offset=self._stream_pos + pkg["start"],
+                ook_low_estimate=pkg["ook_low_estimate"],
+                ook_high_estimate=pkg["ook_high_estimate"],
+                fsk_f1_est=pkg["fsk_f1_est"], fsk_f2_est=pkg["fsk_f2_est"])
+            pd.calc_rssi_snr(self.params.sample_rate, self.center_frequency,
+                             sample_size=2,
+                             use_mag_est=self.params.use_mag_est)
+            ch = pkg["channel"]
+            cb = lambda dev, ev, _ch=ch: out.append((_ch, ev))
+            if pkg["type"] == PKG_FSK:
+                self.registry.run_fsk_demods(pd, cb)
+            else:
+                self.registry.run_ook_demods(pd, cb)
+        self._stream_pos += block_len
+        return out
