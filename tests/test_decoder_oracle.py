@@ -378,6 +378,24 @@ VECTORS = [
     (105, "{472}547696a9959a9a966a99aa956a9996a59aa9a6aaa9a965a69666"
           "a595669aa6aaaaaaaaaaaaaaa696996955aa6aaaa65565a966a596aaa9"
           "56aa659a", 1),                                             # mode S
+    # batch 32: round-2 oracle-gap closure (VERDICT r1 item 3)
+    (88, "{160}a9eab52acb54b4d4cd552d54b2d5352d2ccb32d0", 1),  # tpms_toyota
+    (76, "{72}aaaa2dd495c6156aa7", 1),                         # lacrosse_tx29
+    (279, "{36}77bf03701 {36}77bf03701 {36}77bf03701", 1),     # nexus_sauna
+    (265, "{55}dd512269594830", 1),                            # rosstech_dcu706
+    (106, "{256}555476961744685078563412011b26a37a420000000265"
+          "9f0802fb1a3601e0b4", 1),                            # m_bus mode R
+    (107, "{144}55f68d000000000000000000000000000000", 0),     # m_bus mode F
+    (130, "{192}aaaad201112000070ea22738bed0882f9b47d1248e354b00", 1),
+    (307, "{12}aaa {67}123456789abcdef5e", 1),                 # hcs361 txwak01
+    (308, "{12}aaa {67}123456789abcdef5e", 1),                 # hcs361 txwak10
+    (309, "{12}aaa {67}123456789abcdef5e", 1),                 # hcs361 txwak11
+    (310, "{12}aaa {67}123456789abcdef5e", 1),                 # hcs361 vpwm10
+    (311, "{12}aaa {67}123456789abcdef5e", 1),                 # hcs361 vpwm11
+    # kaku family: sync-marked PPM, expressed as RfRaw pulse trains
+    (15, "AAB104012C0A5A05780CE481808282808280808282808082828080828280828082808280808280828280828080828280828082808280808280828280808282808082828080828082828080828355", 1),   # newkaku
+    (51, "AAB104012C0A5A05780CE481808282808280808282808082828080828280828082808280808280828280828080828280828082808280808280828280808282808082828080828082828080828355", 1),   # proove
+    (96, "AAB104012C0A5A05780CE481808282808280808282808082828080828280828082808280808280828280828080828280828082808280808280828280808282808082828080828082828080828355", 1),   # nexa
     (379, "{377}0ffffffff7c688d1191366622d5599b77611d339570b6d0da185"
           "b08680cbda8300600c01903536f9c219a734689dc58", 1),          # radian
     # batch 32: misc D
@@ -670,3 +688,39 @@ def test_decoder_mutation_fuzz(rtl433, num, code, min_events):
         ref = [_normalize(e) for e in _ref_events(num, mut)]
         ours = [_normalize(e) for e in _our_events(num, mut)]
         assert ours == ref, f"mutated code {mut}: ours={ours} ref={ref}"
+
+
+# MIC-valid packets for these two protocols CRASH the reference binary
+# (varargs UB in the reference decoders: fineoffset_wh43.c passes a float
+# expression as DATA_INT; rfm69_lowpowerlab_moteino.c passes ints as
+# DATA_STRING pointers). Our decoders emit the intended fields instead; the
+# reference segfault (rc=-SIGSEGV) is asserted to document the divergence.
+def test_wh43_decodes_where_reference_crashes(rtl433):
+    from rtl_433_tpu.bits import util as _u
+    msg = [0x43, 0x12, 0x34, 0x56, 0x42, 0x58, 0x81, 0xF4]
+    crc = _u.crc8(bytes(msg), 8, 0x31, 0x00)
+    s = (sum(msg) + crc) & 0xFF
+    bits = "".join(format(b, "08b")
+                   for b in [0xAA, 0x2D, 0xD4] + msg + [crc, s])
+    code = "{%d}%x" % (len(bits), int(bits, 2))
+    ours = _our_events(283, code)
+    assert ours and ours[0]["model"] == "Fineoffset-WH43"
+    out = subprocess.run([rtl433, "-R", "283", "-y", code, "-F", "json"],
+                         capture_output=True, text=True, timeout=30)
+    assert out.returncode < 0, "reference no longer crashes — compare events"
+
+
+def test_rfm69_decodes_where_reference_crashes(rtl433):
+    from rtl_433_tpu.bits import util as _u
+    paylen = 10
+    payload = [paylen, 5, 2, 0x00] + list(b"HELLO\x00") + [0]
+    crc = (~_u.crc16(bytes(payload), paylen + 1, 0x1021, 0x1D0F)) & 0xFFFF
+    frame = [0xAA, 0xAA, 0xAA, 0x2D, 0xD4] + payload + [crc >> 8, crc & 0xFF]
+    bits = "".join(format(b, "08b") for b in frame)
+    code = "{%d}%x" % (len(bits), int(bits, 2))
+    ours = _our_events(318, code)
+    assert ours and ours[0]["model"] == "Moteino-RFM69"
+    assert ours[0]["msg"] == "HELLO"
+    out = subprocess.run([rtl433, "-R", "318", "-y", code, "-F", "json"],
+                         capture_output=True, text=True, timeout=30)
+    assert out.returncode < 0, "reference no longer crashes — compare events"
