@@ -1,15 +1,24 @@
-"""Benchmark: aggregate IQ throughput of the fused pulse-detection engine.
+"""Benchmark: END-TO-END IQ throughput — detect + slice + decode + events.
 
-Measures MS/s (million complex IQ samples per second) through the full
-device pipeline — AM estimation, AM low-pass IIR, FM discriminator+IIR,
-OOK hysteresis FSM, FSK tracker, package publish — over a multi-channel
-CU8 block stream on one chip.
+Signal-dense workload (VERDICT r1 item 1): 25% of channels carry real,
+decodable bursts (80% LaCrosse TX35 FSK-PCM, 20% Silvercrest PWM, distinct
+payloads per channel), one burst per active channel every ROTATIONS blocks
+(~1 burst / 2.1 s — a TPMS/weather-sensor cadence). Every block therefore
+carries signal in many channels, so the all-idle detector fast path never
+short-circuits the measurement, and every burst flows through the full
+pipeline: Pallas front-end -> OOK/FSK detector FSM -> device-side package
+compaction -> native batch slicer -> gated decoder dispatch -> events.
 
-Baseline: the reference rtl_433 C binary (single core, this machine class)
-measures ~57.7 MS/s over the same workload (noise blocks, all default
-protocols registered, `-F null`; see BASELINE.md measurement protocol).
+Device compute (block N) overlaps host decode (block N-1), like the
+reference's SDR-thread/main-thread split (ref src/sdr.c:1718).
+
+Baseline: the reference rtl_433 C binary on THIS machine class decodes the
+equivalent single-channel stream (same burst mix and cadence) at
+47.5 MS/s single-core (and 57.7 MS/s on pure noise); measurement protocol
+in BASELINE.md.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary numbers (events/s, detector-only) go to stderr.
 """
 
 import json
@@ -18,10 +27,70 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
 
-# Reference single-core throughput measured with:
-#   rtl_433 -r /tmp/bench_noise_250k.cu8 -F null   (32M samples, best of 3)
-BASELINE_MSPS = 57.7
+# rtl_433 -r single-core on the equivalent signal-dense stream (see header)
+BASELINE_MSPS = 47.5
+
+
+def _lacrosse_burst(id_, t_bcd, hum, seed):
+    """Valid LaCrosse TX35 FSK frame (decodes as TX35 + TX29)."""
+    import synth
+    from rtl_433_tpu.bits import util
+    b0 = 0x90 | (id_ >> 2)
+    b1 = ((id_ & 3) << 6) | t_bcd[0]
+    b2 = (t_bcd[1] << 4) | t_bcd[2]
+    b3 = hum
+    crc = util.crc8(bytes([b0, b1, b2, b3]), 4, 0x31, 0x00)
+    payload = f"{b0:08b}{b1:08b}{b2:08b}{b3:08b}{crc:08b}"[4:]
+    bits = "10101010" * 4 + "0010110111010100" + "1001" + payload
+    return synth.synth_fsk(synth.fsk_pcm_bits(bits, bit_us=55, preamble=""),
+                           rate=250_000, lead_in_us=16_000, tail_us=20_000,
+                           seed=seed)
+
+
+def _silvercrest_burst(cmd, seed):
+    """Valid Silvercrest PWM remote burst."""
+    import synth
+    lut = [2, 3, 0, 1, 4, 5, 7, 6, 0xC, 0xD, 0xF, 0xE, 8, 9, 0xB, 0xA]
+    msg = (0x7C << 25) | (0x26 << 17) | (cmd << 9) | (lut[cmd] << 1)
+    bits = format(msg, "033b")
+    train = []
+    for rep in range(3):
+        for k, b in enumerate(bits):
+            last = k == len(bits) - 1
+            gap = 6000 if last else (744 if b == "1" else 264)
+            train.append((264 if b == "1" else 744, gap))
+    train[-1] = (train[-1][0], 16000)
+    return synth.synth_ook(train, rate=250_000, lead_in_us=20_000,
+                           tail_us=20_000, seed=seed)
+
+
+def build_blocks(channels, n, rotations, active_every=4):
+    """[rotations] CU8 blocks; channel c (c%active_every==0) bursts in
+    rotation (c//active_every) % rotations with a per-channel payload."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    blocks = []
+    n_bursts = 0
+    for r in range(rotations):
+        blk = rng.integers(123, 133, size=(channels, n, 2), dtype=np.uint8)
+        for c in range(0, channels, active_every):
+            if (c // active_every) % rotations != r:
+                continue
+            k = c // active_every
+            if k % 5 == 4:
+                burst = _silvercrest_burst((k + r) & 0xF, seed=k)
+            else:
+                burst = _lacrosse_burst((k * 7 + r) & 0x3F,
+                                        ((k % 7), (k % 10), (r % 10)),
+                                        20 + k % 70, seed=k)
+            off = (c * 9973) % max(1, n - burst.shape[0] - 256)
+            blk[c, off:off + burst.shape[0]] = burst
+            n_bursts += 1
+        blocks.append(blk)
+    return blocks, n_bursts
 
 
 def main():
@@ -30,43 +99,114 @@ def main():
     import numpy as np
 
     from rtl_433_tpu.api import _enable_compile_cache
-    from rtl_433_tpu.dsp.engine import DetectorParams, detector_init
+    from rtl_433_tpu.decoders import Registry
+    from rtl_433_tpu.dsp.engine import (DetectorParams, compact_packages,
+                                        detector_init, packages_from_compact,
+                                        process_block, PKG_FSK)
+    from rtl_433_tpu.pulse.data import PulseData
 
     _enable_compile_cache()
-
     on_tpu = jax.default_backend() != "cpu"
-    channels = int(os.environ.get("BENCH_CHANNELS", "8192" if on_tpu else "32"))
-    n = int(os.environ.get("BENCH_BLOCK", "131072" if on_tpu else "16384"))
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    channels = int(os.environ.get("BENCH_CHANNELS", "4096" if on_tpu else "32"))
+    n = int(os.environ.get("BENCH_BLOCK", "131072" if on_tpu else "32768"))
+    rotations = int(os.environ.get("BENCH_ROTATIONS", "4"))
+    cycles = int(os.environ.get("BENCH_CYCLES", "3"))  # measured cycles
+    cap = int(os.environ.get("BENCH_PKG_CAP", "4096"))
 
-    params = DetectorParams(sample_rate=250_000, unroll=16 if on_tpu else 1,
+    params = DetectorParams(sample_rate=250_000, fsk_minmax=False,
+                            enable_fm=True, unroll=16 if on_tpu else 1,
+                            chunk=512 if on_tpu else 128,
+                            ring=64 if on_tpu else 8,
+                            eops=4 if on_tpu else 2,
                             pallas_frontend=on_tpu)
 
-    from rtl_433_tpu.dsp.engine import process_block
-    import functools
-    step = jax.jit(functools.partial(process_block, params),
-                   static_argnames=("flush",), donate_argnums=(0,))
+    registry = Registry()
+    registry.register_all()
+
+    def step_fn(state, iq):
+        state, avg_db = process_block(params, state, iq, None, flush=False)
+        comp = compact_packages(state, cap)
+        state = dict(state, out_n=jnp.zeros_like(state["out_n"]))
+        return state, comp
+
+    jstep = jax.jit(step_fn, donate_argnums=(0,))
+
+    print(f"building {rotations} rotation blocks "
+          f"[{channels} x {n}]...", file=sys.stderr)
+    import numpy as np
+
+    # build per-rotation blocks host-side, then place on device
+    rot_np, n_bursts = build_blocks(channels, n, rotations)
+    blocks = []
+    rng = np.random.default_rng(0)
+    for r in range(rotations):
+        blocks.append(jax.device_put(rot_np[r]))
+    del rot_np
+    per_block_bursts = n_bursts / rotations
+    print(f"{n_bursts} bursts total, ~{per_block_bursts:.0f}/block",
+          file=sys.stderr)
 
     state = detector_init(params, channels)
-    rng = np.random.default_rng(0)
-    iq = jnp.asarray(rng.integers(123, 133, size=(channels, n, 2),
-                                  dtype=np.uint8))
 
-    # warmup / compile
-    state, avg = step(state, iq, flush=False)
-    np.asarray(avg)  # hard sync: device->host transfer
+    events = []
 
+    def host_decode(comp_np):
+        pkgs, _cnt = packages_from_compact(comp_np)
+        got = 0
+        for pkg in pkgs:
+            pd = PulseData(
+                pulse=pkg["pulse"].tolist(), gap=pkg["gap"].tolist(),
+                sample_rate=params.sample_rate,
+                ook_low_estimate=pkg["ook_low_estimate"],
+                ook_high_estimate=pkg["ook_high_estimate"],
+                fsk_f1_est=pkg["fsk_f1_est"], fsk_f2_est=pkg["fsk_f2_est"])
+            pd.calc_rssi_snr(params.sample_rate, 433_920_000.0,
+                             sample_size=2, use_mag_est=params.use_mag_est)
+            cb = lambda dev, ev, c=pkg["channel"]: events.append((c, ev))
+            if pkg["type"] == PKG_FSK:
+                registry.run_fsk_demods(pd, cb)
+            else:
+                registry.run_ook_demods(pd, cb)
+            got += 1
+        return got
+
+    # warmup: one full rotation cycle (compile + decode-cache fill)
+    prev = None
+    for r in range(rotations):
+        state, comp = jstep(state, blocks[r])
+        if prev is not None:
+            host_decode(prev)
+        prev = jax.device_get(comp)
+    host_decode(prev)
+    warm_events = len(events)
+    print(f"warmup: {warm_events} events", file=sys.stderr)
+
+    events.clear()
+    n_pkgs = 0
     t0 = time.perf_counter()
-    for _ in range(reps):
-        state, avg = step(state, iq, flush=False)
-    # hard sync via host transfer — on the tunneled backend
-    # block_until_ready() returns before execution completes
-    np.asarray(state["num"])
+    prev = None
+    reps = rotations * cycles
+    for k in range(reps):
+        state, comp = jstep(state, blocks[k % rotations])
+        if prev is not None:
+            n_pkgs += host_decode(prev)
+        prev = jax.device_get(comp)
+    n_pkgs += host_decode(prev)
     dt = time.perf_counter() - t0
 
-    msps = channels * n * reps / dt / 1e6
+    total_samples = channels * n * reps
+    msps = total_samples / dt / 1e6
+    ev_rate = len(events) / dt
+    # sanity: the pipeline must actually be decoding (2 events per lacrosse
+    # burst, 1 per silvercrest -> ~1.8x bursts)
+    expect = per_block_bursts * reps * 1.5
+    ok = len(events) >= expect * 0.8
+    print(f"{dt:.2f}s for {reps} blocks: {msps:.1f} MS/s, "
+          f"{n_pkgs} pkgs, {len(events)} events ({ev_rate:.0f}/s), "
+          f"decode_ok={'yes' if ok else 'LOW'}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "engine_throughput",
+        "metric": "e2e_throughput_signal_dense",
         "value": round(msps, 1),
         "unit": "MS/s/chip",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),

@@ -75,25 +75,74 @@ class RtlTcpClient:
         self._stop.set()
 
     def run(self, on_block: Callable[[np.ndarray], None],
-            max_blocks: Optional[int] = None):
-        """Stream CU8 blocks [N, 2] to ``on_block`` until EOF/stop."""
+            max_blocks: Optional[int] = None, use_ring: bool = True,
+            n_ring_blocks: int = 15):
+        """Stream CU8 blocks [N, 2] to ``on_block`` until EOF/stop.
+
+        With ``use_ring`` (default) a producer thread receives from the
+        socket into the native SPSC block ring (native/ingest.cpp) while
+        this thread consumes — network ingest overlaps compute, like the
+        reference's acquire thread + 15 async buffers
+        (ref src/sdr.c:1718-1765, include/sdr.h:17-18). Blocks dropped on
+        ring overflow are counted in ``self.blocks_dropped``.
+        """
         nbytes = self.block_samples * 2
         blocks = 0
         self.sock.settimeout(5)
-        while not self._stop.is_set():
+        self.blocks_dropped = 0
+        if not use_ring:
+            while not self._stop.is_set():
+                try:
+                    raw = self._recv_exact(nbytes)
+                except (ConnectionError, socket.timeout):
+                    break
+                iq = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 2)
+                on_block(iq)
+                blocks += 1
+                if max_blocks is not None and blocks >= max_blocks:
+                    break
             try:
-                raw = self._recv_exact(nbytes)
-            except (ConnectionError, socket.timeout):
-                break
-            iq = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 2)
-            on_block(iq)
-            blocks += 1
-            if max_blocks is not None and blocks >= max_blocks:
-                break
+                self.sock.close()
+            except OSError:
+                pass
+            return
+
+        from .native import BlockRing
+        ring = BlockRing(nbytes, n_ring_blocks)
+        eof = threading.Event()
+
+        def producer():
+            while not self._stop.is_set():
+                try:
+                    raw = self._recv_exact(nbytes)
+                except (ConnectionError, socket.timeout, OSError):
+                    break
+                if not ring.push(np.frombuffer(raw, dtype=np.uint8)):
+                    self.blocks_dropped += 1
+            eof.set()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
         try:
-            self.sock.close()
-        except OSError:
-            pass
+            while not self._stop.is_set():
+                blk = ring.pop()
+                if blk is None:
+                    if eof.is_set() and ring.fill == 0:
+                        break
+                    eof.wait(0.002)
+                    continue
+                on_block(blk.reshape(-1, 2))
+                blocks += 1
+                if max_blocks is not None and blocks >= max_blocks:
+                    break
+        finally:
+            self._stop.set()
+            t.join(timeout=5)
+            self.blocks_dropped += ring.dropped
+            try:
+                self.sock.close()
+            except OSError:
+                pass
 
 
 class RtlTcpServer:

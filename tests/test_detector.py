@@ -161,3 +161,21 @@ def test_empty_signal_no_packages():
     iq = np.full((8192, 2), 128, np.uint8)
     params = DetectorParams()
     assert run_engine(iq, params) == []
+
+
+def test_wide_drain_interval_invariance():
+    """chunk=512/ring=64/eops=4 (the TPU drain tuning) must produce
+    bit-identical packages to the default chunk=128 configuration."""
+    iq = np.concatenate([PWM_SIG(), FSK_SIG(), PPM_SIG()])
+    base = DetectorParams(sample_rate=250_000, pkg_cap=8)
+    wide = DetectorParams(sample_rate=250_000, pkg_cap=8,
+                          chunk=512, ring=64, eops=4)
+    a = run_engine(iq, base)
+    b = run_engine(iq, wide)
+    assert len(a) == len(b) and len(a) >= 3
+    for x, y in zip(a, b):
+        assert x["type"] == y["type"]
+        assert x["num_pulses"] == y["num_pulses"]
+        assert x["pulse"].tolist() == y["pulse"].tolist()
+        assert x["gap"].tolist() == y["gap"].tolist()
+        assert x["ook_low_estimate"] == y["ook_low_estimate"]

@@ -180,3 +180,67 @@ def test_watchdog_stall_restart_reconnects():
                 duration=6.0)
     srv.stop_evt.set()
     assert srv.n_connects >= 2        # the watchdog reconnected
+
+
+import socket
+import struct
+import time
+
+
+class RateLimitedRtlTcp(threading.Thread):
+    """Fake rtl_tcp server streaming noise at a fixed sample rate."""
+
+    def __init__(self, rate_sps, seconds, block_samples=131072):
+        super().__init__(daemon=True)
+        self.sock = socket.socket()
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.rate = rate_sps
+        self.n_blocks = max(1, int(seconds * rate_sps / block_samples))
+        self.block_samples = block_samples
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        conn.sendall(b"RTL0" + struct.pack(">II", 5, 29))
+        rng = np.random.default_rng(0)
+        blk = rng.integers(123, 133,
+                           size=self.block_samples * 2, dtype=np.uint8)
+        period = self.block_samples / self.rate
+        t_next = time.monotonic()
+        try:
+            for _ in range(self.n_blocks):
+                t_next += period
+                conn.sendall(blk.tobytes())
+                delay = t_next - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+        except OSError:
+            pass
+        try:
+            conn.close()
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def test_ring_ingest_sustains_1msps_without_drops():
+    """The native-ring live ingest must sustain 1.024 MS/s (ref 15 async
+    buffers, include/sdr.h:17-18): consumer busy-time < block period, ring
+    absorbs jitter, zero drops (VERDICT r1 item 7)."""
+    from rtl_433_tpu.io.rtltcp import RtlTcpClient
+
+    srv = RateLimitedRtlTcp(1_024_000, seconds=2.0)
+    srv.start()
+    cli = RtlTcpClient("127.0.0.1", srv.port, block_samples=131072)
+    cli.connect()
+    got = []
+
+    def on_block(iq):
+        time.sleep(0.02)  # simulated compute, well under the 128 ms period
+        got.append(iq.shape[0])
+
+    cli.run(on_block, use_ring=True)
+    assert len(got) == srv.n_blocks
+    assert cli.blocks_dropped == 0
