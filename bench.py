@@ -183,6 +183,9 @@ def main():
 
     events.clear()
     n_pkgs = 0
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     prev = None
     reps = rotations * cycles
@@ -193,6 +196,9 @@ def main():
         prev = jax.device_get(comp)
     n_pkgs += host_decode(prev)
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
 
     total_samples = channels * n * reps
     msps = total_samples / dt / 1e6

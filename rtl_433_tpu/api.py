@@ -59,7 +59,16 @@ class RtlTpu:
                  report_time: str = "off",        # off|iso|unix
                  channels: int = 1,
                  analyze: bool = False,
-                 register_all: bool = True):
+                 register_all: bool = True,
+                 report_time_hires: bool = False,
+                 report_time_utc: bool = False,
+                 fixed_level_db: float = 0.0,
+                 min_level_db: float = -12.1442,
+                 min_snr_db: float = 9.0,
+                 squelch: bool = False,
+                 report_noise: int = 0,
+                 verbosity: int = 0):
+        self.verbosity = verbosity
         self.analyze = analyze
         self.sample_rate = int(sample_rate)
         self.center_frequency = float(center_frequency)
@@ -89,6 +98,17 @@ class RtlTpu:
         # per-decoder stats live on RDevice (account_event equivalent)
         self.frames_count = 0
         self.frames_events = 0
+        # noise tracking / squelch (ref src/r_flow.c:166-194)
+        self.report_time_hires = report_time_hires
+        self.report_time_utc = report_time_utc
+        self.fixed_level_db = fixed_level_db
+        self.min_level_db = min_level_db
+        self.min_snr_db = min_snr_db
+        self.squelch = squelch
+        self.report_noise = int(report_noise)
+        self.noise_level = 0.0
+        self.total_frames_squelch = 0
+        self._last_noise_report = 0
 
     # -- config ---------------------------------------------------------------
 
@@ -127,6 +147,10 @@ class RtlTpu:
                 use_mag_est=self.use_mag_est,
                 fsk_minmax=self.fsk_minmax,
                 enable_fm=enable_fm,
+                fixed_high_level=(-abs(self.fixed_level_db)
+                                  if self.fixed_level_db else 0.0),
+                min_high_level=self.min_level_db,
+                high_low_ratio=self.min_snr_db,
                 unroll=16 if on_tpu else 1,
                 # fused Pallas front-end + all-idle fast path on hardware;
                 # wider drain interval amortizes the publish path on dense
@@ -172,8 +196,23 @@ class RtlTpu:
         self._logic_buf = (np.zeros(N, np.uint8)
                            if any(d.wants_logic for d in self.dumpers)
                            else None)
+        # squelch: skip noise-only frames entirely in live mode
+        # (ref src/r_flow.c:166-176: frames are always processed for file
+        # replay, dumpers, the grabber or the analyzer)
+        must_process = (self._current_file or self.dumpers
+                        or self.samp_grab is not None or self.analyze)
+        if (self.squelch or self.report_noise) and not must_process:
+            avg = self._block_avg_db(iq)
+            noise_only = self._track_noise(avg)
+            if self.squelch and noise_only:
+                self.total_frames_squelch += 1
+                self.frames_count += 1
+                self._stream_pos += N
+                return 0
         self._state, avg_db = self._jit(self._state, jnp.asarray(iq),
                                         n_valid, flush=flush)
+        if (self.squelch or self.report_noise) and must_process:
+            self._track_noise(float(np.asarray(avg_db)[0]))
         pkgs, self._state = take_packages(self._state)
         events = 0
         self.frames_count += 1
@@ -186,6 +225,40 @@ class RtlTpu:
         self._logic_buf = None
         self._stream_pos += N
         return events
+
+    def _block_avg_db(self, iq: np.ndarray) -> float:
+        """Mean block level in dB for channel 0 (squelch prescreen)."""
+        from .dsp import baseband as bb
+        import jax.numpy as jnp
+        if getattr(self, "_avg_jit", None) is None:
+            import jax
+            fn = (bb.magnitude_est_cu8 if self.use_mag_est
+                  else bb.envelope_detect_cu8)
+            self._avg_jit = jax.jit(lambda x: fn(x)[1])
+        return float(np.asarray(self._avg_jit(jnp.asarray(iq)))[0])
+
+    def _track_noise(self, avg_db: float) -> bool:
+        """Noise EWMA + periodic -M noise report (ref src/r_flow.c:166-194).
+
+        Returns True when the frame is noise-only.
+        """
+        if self.noise_level == 0.0:
+            self.noise_level = self.min_level_db - 3.0
+        noise_only = avg_db < self.noise_level + 3.0
+        if noise_only:
+            self.noise_level = (self.noise_level * 7 + avg_db) / 8
+        else:
+            self.noise_level = (self.noise_level * 31 + avg_db) / 32
+        if self.report_noise:
+            now = int(_time.time())
+            if (now != self._last_noise_report
+                    and now % self.report_noise == 0):
+                self._last_noise_report = now
+                import sys
+                print(f"Auto Level: Current {'noise' if noise_only else 'signal'} "
+                      f"level {avg_db:.1f} dB, estimated noise "
+                      f"{self.noise_level:.1f} dB", file=sys.stderr)
+        return noise_only
 
     def _dumper_streams(self, iq0: np.ndarray):
         """Filtered am/fm for channel 0, bit-exact with the engine's
@@ -239,6 +312,18 @@ class RtlTpu:
                 dumper.write_pulses(pd)
             elif dumper.format == "vcd":
                 dumper.write_vcd(pd, is_fsk)
+        if self.verbosity >= 3:
+            # verbosity-gated pulse-train dump (ref src/r_flow.c:279-281
+            # LOG_TRACE package print, src/pulse_data.c:193 text format)
+            import sys
+            kind = "FSK" if is_fsk else "OOK"
+            print(f"pulse_data: {kind} package, {len(pd.pulse)} pulses, "
+                  f"rssi {pd.rssi_db:.1f} dB snr {pd.snr_db:.1f} dB @"
+                  f"{pd.offset}", file=sys.stderr)
+            if self.verbosity >= 4:
+                for i in range(len(pd.pulse)):
+                    print(f"  [{i:4d}] pulse {pd.pulse[i]:5d} gap "
+                          f"{pd.gap[i]:5d}", file=sys.stderr)
         cb = functools.partial(self._event_cb, pd=pd, is_fsk=is_fsk)
         if is_fsk:
             n = self.registry.run_fsk_demods(pd, cb)
@@ -276,10 +361,23 @@ class RtlTpu:
                 # file replay: position-based time (ref src/r_util.c:153-156,
                 # src/r_api.c:306-310 "@%fs")
                 ts = f"@{pd.offset / self.sample_rate:f}s"
-            elif self.report_time == "unix":
-                ts = str(int(_time.time()))
             else:
-                ts = _time.strftime("%Y-%m-%d %H:%M:%S")
+                # -M time:unix|iso[:usec][:utc] (ref src/r_api.c:306-332)
+                now = _time.time()
+                if self.report_time == "unix":
+                    ts = (f"{int(now)}.{int(now % 1 * 1e6):06d}"
+                          if self.report_time_hires else str(int(now)))
+                else:
+                    # "iso8601" = -M time:iso (T separator); the default
+                    # ("iso" legacy value) is the reference's date format
+                    fmt = ("%Y-%m-%dT%H:%M:%S"
+                           if self.report_time == "iso8601"
+                           else "%Y-%m-%d %H:%M:%S")
+                    tm = (_time.gmtime(now) if self.report_time_utc
+                          else _time.localtime(now))
+                    ts = _time.strftime(fmt, tm)
+                    if self.report_time_hires:
+                        ts += f".{int(now % 1 * 1e6):06d}"
             ev.prepend(("time", ts))
         self.events.append(ev)
         for sink in self.sinks:

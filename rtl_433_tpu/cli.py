@@ -51,6 +51,8 @@ def main(argv=None):
     use_mag_est = False
     convert = "native"
     meta = set()
+    meta_opts = {}
+    y_opts = {}
     verbosity = 0
     analyze = False
 
@@ -137,6 +139,8 @@ def main(argv=None):
         elif a == "-s":
             rate = int(_metric(val()))
         elif a == "-Y":
+            # -Y auto|classic|minmax,level=,minlevel=,minsnr=,squelch,
+            #    ampest|magest (ref src/rtl_433.c usage, src/r_api.c:148-166)
             for part in val().split(","):
                 if part in ("auto", "classic", "minmax"):
                     fsk_mode = part
@@ -144,10 +148,20 @@ def main(argv=None):
                     use_mag_est = True
                 elif part == "ampest":
                     use_mag_est = False
+                elif part.startswith("level="):
+                    y_opts["fixed_level_db"] = float(part[6:])
+                elif part.startswith("minlevel="):
+                    y_opts["min_level_db"] = float(part[9:])
+                elif part.startswith("minsnr="):
+                    y_opts["min_snr_db"] = float(part[7:])
+                elif part == "squelch":
+                    y_opts["squelch"] = True
         elif a == "-C":
             convert = val()
         elif a == "-M":
-            meta.add(val().split(":")[0])
+            m = val()
+            meta.add(m.split(":")[0])
+            meta_opts[m.split(":")[0]] = m.split(":")[1:]
         elif a == "-A":
             analyze = True
         elif a.startswith("-v"):
@@ -163,13 +177,28 @@ def main(argv=None):
         # auto 1 MS/s above 800 MHz (ref src/rtl_433.c:558-562)
         rate = 1_024_000 if freq > 800_000_000 else 250_000
 
+    # -M time:rel|unix|iso|usec|tz|utc (ref src/rtl_433.c:688-720)
+    time_parts = meta_opts.get("time", [])
+    report_time = "iso" if ("time" in meta or in_files or test_codes) \
+        else "off"
+    if "unix" in time_parts:
+        report_time = "unix"
+    elif "iso" in time_parts:
+        report_time = "iso8601"
+    noise_parts = meta_opts.get("noise", [])
+    if "noise" in meta:
+        y_opts["report_noise"] = int(noise_parts[0]) if noise_parts else 1
+
     rx = RtlTpu(sample_rate=rate, center_frequency=freq, fsk_mode=fsk_mode,
                 use_mag_est=use_mag_est, convert=convert,
                 analyze=analyze,
                 report_meta="level" in meta,
                 report_protocol="protocol" in meta,
-                report_time="iso" if ("time" in meta or in_files or test_codes)
-                            else "off",
+                report_time=report_time,
+                report_time_hires="usec" in time_parts,
+                report_time_utc="utc" in time_parts,
+                verbosity=verbosity,
+                **y_opts,
                 register_all=not any(num == 0 for en, num, _ in protocols
                                      if en is False) )
 
@@ -226,7 +255,7 @@ def main(argv=None):
             rx.sinks.append(emit_json)
         elif fmt in ("kv", "log"):
             def emit_kv(ev):
-                print(event_to_kv(ev))
+                print(event_to_kv(ev, color=sys.stdout.isatty()))
                 print("", flush=True)
             rx.sinks.append(emit_kv)
         elif fmt == "csv":
@@ -241,10 +270,35 @@ def main(argv=None):
             from .output.network import TriggerSink
             rx.sinks.append(TriggerSink(arg or "/dev/stdout"))
         elif fmt in ("mqtt", "mqtts"):
+            # -F mqtt[s]:host[:port][,opt=val,...] (ref src/output_mqtt.c
+            # help at src/rtl_433.c:264-280; mqtts/tls opts :160-161)
             from .output.network import MqttSink
-            host, _, rest = arg.partition(":")
-            port, _, _opts = rest.partition(",")
-            sink = MqttSink(host or "localhost", int(port or 1883))
+            head, _, opts_str = arg.partition(",")
+            host, _, port = head.partition(":")
+            kw = {"tls": fmt == "mqtts"}
+            for opt in opts_str.split(","):
+                if not opt:
+                    continue
+                k, _, v = opt.partition("=")
+                if k in ("user", "u"):
+                    kw["user"] = v
+                elif k in ("pass", "p"):
+                    kw["password"] = v
+                elif k == "retain":
+                    kw["retain"] = v != "0"
+                elif k == "qos":
+                    kw["qos"] = int(v or 0)
+                elif k in ("events", "devices", "states", "availability",
+                           "base"):
+                    kw[k] = v
+                elif k == "tls":
+                    kw["tls"] = True
+                elif k in ("tls_ca_cert", "tls_cert", "tls_key"):
+                    kw[k] = v
+                elif k == "tls_insecure":
+                    kw["tls_insecure"] = True
+            sink = MqttSink(host or "localhost",
+                            int(port or (8883 if kw["tls"] else 1883)), **kw)
             rx.sinks.append(sink)
             closers.append(sink.close)
         elif fmt == "influx":

@@ -175,28 +175,68 @@ def event_to_jsons(ev: Event) -> str:
         f'"{_json_escape(f.key)}":{_jsons_value(f.value)}' for f in ev.fields) + "}"
 
 
-def event_to_kv(ev: Event, width: int = 78) -> str:
-    """Colored-less KV output approximating -F kv (ref src/output_file.c:457)."""
-    parts = []
+# -F kv value colors by key (ref src/output_file.c:183-198)
+_KV_COLORS = {
+    "tag": "\033[34m", "time": "\033[34m",                       # blue
+    "model": "\033[31m", "type": "\033[31m", "id": "\033[31m",   # red
+    "mic": "\033[36m",                                           # cyan
+    "mod": "\033[35m", "freq": "\033[35m",                       # magenta
+    "freq1": "\033[35m", "freq2": "\033[35m",
+    "rssi": "\033[33m", "snr": "\033[33m", "noise": "\033[33m",  # yellow
+}
+_KV_GREEN = "\033[32m"
+_KV_RESET = "\033[0m"
+_KV_BREAK_BEFORE = {"model", "mod", "rssi", "codes"}
+_KV_BREAK_AFTER = {"id", "mic"}
+
+
+def event_to_kv(ev: Event, width: int = 78, color: bool = False) -> str:
+    """-F kv output: 26-column aligned key/value layout with break rules
+    and (optionally) per-key ANSI value colors (ref src/output_file.c:
+    326-370 layout, :183-216 color/break tables)."""
+    out = []
+    column = 0
     for f in ev.fields:
-        label = f.pretty if f.pretty else f.key
-        if f.key == "time":
-            parts.append(str(f.value))
-            continue
-        if f.key == "model":
-            parts.append(str(f.value))
-            continue
-        if f.fmt and isinstance(f.value, (int, float)):
-            try:
-                sval = _c_format(f.fmt, f.value)
-            except (ValueError, TypeError):
-                sval = str(f.value)
-        elif isinstance(f.value, float):
-            sval = f"{f.value:.3f}"
-        else:
-            sval = str(f.value)
-        parts.append(f"{label}: {sval}")
-    return "\n".join(parts)
+        sval = _kv_value_str(f)
+        key = f.pretty if f.pretty else f.key
+        if column > 0 and f.key in _KV_BREAK_BEFORE:
+            out.append("\n")
+            column = 0
+        elif column >= width - 26:
+            out.append("\n")
+            column = 0
+        elif 0 < column < width - 26:
+            pad = 25 - column % 26
+            out.append(" " * pad)
+            column += pad
+        cell = f"{key:<10}: "
+        out.append(cell)
+        column += len(cell)
+        if color:
+            out.append(_KV_COLORS.get(f.key, _KV_GREEN))
+        out.append(sval)
+        column += len(sval)
+        if color:
+            out.append(_KV_RESET)
+        if column > 0 and f.key in _KV_BREAK_AFTER:
+            column = width  # force break before the next key
+    return "".join(out)
+
+
+def _kv_value_str(f: F) -> str:
+    v = f.value
+    if isinstance(v, Event):
+        return " ".join(_kv_value_str(g) for g in v.fields)
+    if isinstance(v, list):
+        return ", ".join(str(x) for x in v)
+    if f.fmt and isinstance(v, (int, float)):
+        try:
+            return _c_format(f.fmt, v)
+        except (ValueError, TypeError):
+            return str(v)
+    if isinstance(v, float):
+        return f"{v:.3f}"
+    return str(v)
 
 
 def _c_format(fmt: str, val) -> str:

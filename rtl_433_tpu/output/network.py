@@ -60,13 +60,20 @@ class MqttClient:
 
     def __init__(self, host="localhost", port=1883, client_id="rtl_433",
                  user=None, password=None, will_topic=None,
-                 will_payload=b"offline", keepalive=60):
+                 will_payload=b"offline", keepalive=60, tls=False,
+                 tls_ca_cert=None, tls_cert=None, tls_key=None,
+                 tls_insecure=False):
         self.host, self.port = host, int(port)
         self.client_id = client_id
         self.user, self.password = user, password
         self.will_topic = will_topic
         self.will_payload = will_payload
         self.keepalive = keepalive
+        self.tls = tls or bool(tls_ca_cert or tls_cert)
+        self.tls_ca_cert = tls_ca_cert
+        self.tls_cert = tls_cert
+        self.tls_key = tls_key
+        self.tls_insecure = tls_insecure
         self.sock: Optional[socket.socket] = None
         self._mid = 0
         self._lock = threading.Lock()
@@ -88,6 +95,17 @@ class MqttClient:
     def connect(self):
         self.sock = socket.create_connection((self.host, self.port),
                                              timeout=5)
+        if self.tls:
+            # mqtts / tls_* options (ref src/output_mqtt.c:160-161 tls opts)
+            import ssl
+            ctx = ssl.create_default_context(cafile=self.tls_ca_cert)
+            if self.tls_cert:
+                ctx.load_cert_chain(self.tls_cert, self.tls_key)
+            if self.tls_insecure:
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            self.sock = ctx.wrap_socket(self.sock,
+                                        server_hostname=self.host)
         flags = 0x02  # clean session
         payload = self._str(self.client_id)
         if self.will_topic:
@@ -185,7 +203,9 @@ class MqttSink:
 
     def __init__(self, host="localhost", port=1883, user=None, password=None,
                  retain=False, qos=0, base=None, events=None, devices=None,
-                 states=None, availability=None, client=None):
+                 states=None, availability=None, client=None, tls=False,
+                 tls_ca_cert=None, tls_cert=None, tls_key=None,
+                 tls_insecure=False):
         self.hostname = socket.gethostname().split(".")[0]
         base = base or f"rtl_433/{self.hostname}"
         self.events = events if events is not None else base + "/events"
@@ -197,7 +217,9 @@ class MqttSink:
         self.qos = qos
         self.client = client or MqttClient(
             host, port, client_id=f"rtl_433-{self.hostname}",
-            user=user, password=password, will_topic=self.availability)
+            user=user, password=password, will_topic=self.availability,
+            tls=tls, tls_ca_cert=tls_ca_cert, tls_cert=tls_cert,
+            tls_key=tls_key, tls_insecure=tls_insecure)
         try:
             self.client.connect()
             if self.availability:
@@ -287,14 +309,115 @@ class InfluxSink:
 # ---------------------------------------------------------------------------
 # data tags (-K)
 
+class LineTagClient:
+    """Background TCP line reader keeping the latest (filtered) line —
+    the gpsd / generic-TCP live tag source (ref src/data_tag.c:26-160).
+    Reconnects on close, like the reference's mongoose client."""
+
+    GPSD_WATCH_JSON = b'?WATCH={"enable":true,"json":true}\n'
+    GPSD_FILTER_JSON = '{"class":"TPV",'
+    GPSD_WATCH_NMEA = b'?WATCH={"enable":true,"nmea":true}\n'
+    GPSD_FILTER_NMEA = "$GPGGA,"
+
+    def __init__(self, host, port, init_bytes=None, filter_prefix=None):
+        self.host, self.port = host, int(port)
+        self.init_bytes = init_bytes
+        self.filter_prefix = filter_prefix
+        self.msg = ""
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                sock = socket.create_connection((self.host, self.port),
+                                                timeout=5)
+                if self.init_bytes:
+                    sock.sendall(self.init_bytes)
+                sock.settimeout(1)
+                buf = b""
+                while not self._stop.is_set():
+                    try:
+                        chunk = sock.recv(4096)
+                    except socket.timeout:
+                        continue
+                    if not chunk:
+                        break
+                    buf += chunk
+                    while b"\n" in buf:
+                        line, buf = buf.split(b"\n", 1)
+                        text = line.rstrip(b"\r").decode("utf-8", "replace")
+                        if (not self.filter_prefix
+                                or text.startswith(self.filter_prefix)):
+                            self.msg = text
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+            except OSError:
+                pass
+            self._stop.wait(1.0)
+
+    def close(self):
+        self._stop.set()
+
+
 class DataTagger:
-    """-K static/file/gpsd tags prepended to every event
-    (ref src/data_tag.c:26-180)."""
+    """-K tags: static key=value, FILE/PATH expansion, and live gpsd /
+    generic-TCP tag clients (ref src/data_tag.c:180-336).
+
+    Spec grammar (matching the reference): ``[key=]gpsd[:host[:port]]``
+    or ``[key=]tcp:host:port`` with options ``,nmea``, ``,init=<str>``,
+    ``,filter=<prefix>`` and bare words as JSON include keys; otherwise
+    static ``key=value`` / ``FILE`` / ``PATH`` / bare tag values.
+    """
 
     def __init__(self, spec: str, current_file_fn=None):
         self.current_file_fn = current_file_fn or (lambda: None)
         self.pairs = []       # static key=value
         self.special = None   # "FILE" | "PATH"
+        self.client = None
+        self.key = None
+        self.includes = []
+
+        body = spec
+        if "=" in spec.split(",", 1)[0]:
+            head = spec.split(",", 1)[0]
+            k, v = head.split("=", 1)
+            if v.startswith(("gpsd", "tcp:")):
+                self.key = k
+                body = spec[len(k) + 1:]
+        if body.startswith(("gpsd", "tcp:")):
+            parts = body.split(",")
+            target = parts[0]
+            gpsd_mode = target.startswith("gpsd")
+            hostport = target.split(":", 1)[1] if ":" in target else ""
+            host = "localhost" if gpsd_mode else None
+            port = 2947 if gpsd_mode else None
+            if hostport:
+                h, _, p = hostport.partition(":")
+                host = h or host
+                if p:
+                    port = int(p)
+            init = LineTagClient.GPSD_WATCH_JSON if gpsd_mode else None
+            filt = LineTagClient.GPSD_FILTER_JSON if gpsd_mode else None
+            for opt in parts[1:]:
+                if opt.lower() == "nmea":
+                    init = LineTagClient.GPSD_WATCH_NMEA
+                    filt = LineTagClient.GPSD_FILTER_NMEA
+                elif opt.startswith("init="):
+                    init = opt[5:].encode()
+                elif opt.startswith("filter="):
+                    filt = opt[7:]
+                elif opt:
+                    self.includes.append(opt)
+            if self.key is None and not self.includes:
+                self.key = "gps" if gpsd_mode else "tag"
+            if host is None or port is None:
+                raise ValueError("host or port for tag client missing")
+            self.client = LineTagClient(host, port, init, filt)
+            return
         for part in spec.split(","):
             if part in ("FILE", "PATH"):
                 self.special = part
@@ -305,7 +428,26 @@ class DataTagger:
                 self.pairs.append(("tag", part))
 
     def __call__(self, ev: Event) -> Event:
+        import json as _json
         import os
+        if self.client is not None:
+            msg = self.client.msg
+            if self.includes:
+                picked = []
+                try:
+                    obj = _json.loads(msg) if msg else {}
+                except ValueError:
+                    obj = {}
+                for k in self.includes:
+                    if k in obj:
+                        picked.append((k, obj[k]))
+                if self.key:
+                    ev.append((self.key, Event.make(*picked)))
+                else:
+                    ev.append(*picked)
+            else:
+                ev.append((self.key, msg))
+            return ev
         items = []
         if self.special:
             path = self.current_file_fn()
@@ -316,3 +458,7 @@ class DataTagger:
         items += self.pairs
         ev.prepend(*items)
         return ev
+
+    def close(self):
+        if self.client is not None:
+            self.client.close()

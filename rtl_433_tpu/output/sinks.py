@@ -32,7 +32,7 @@ class KvSink:
         self.file = file or sys.stdout
 
     def __call__(self, ev: Event):
-        print(event_to_kv(ev), file=self.file)
+        print(event_to_kv(ev, color=getattr(self.file, 'isatty', lambda: False)()), file=self.file)
         print("", file=self.file, flush=True)
 
 

@@ -1,0 +1,206 @@
+"""Inverse slicers: bitbuffers -> pulse trains -> IQ, per protocol timing.
+
+The forward direction is rtl_433_tpu/pulse/slicers.py (modeled on reference
+src/pulse_slicer.c); this module emits a pulse/gap train that the slicer
+will classify back into exactly the given bitbuffer rows — the generator
+for the IQ-level parity corpus (VERDICT r1 item 2; the rtl_433_tests-corpus
+analogue, ref .ci/scripts/do_tests.sh:14-22).
+
+Supported modulations: PPM, PWM (incl. sync), PCM (NRZ and RZ), DMC,
+Manchester-zerobit. Returns None when the timing spec cannot express the
+row structure (e.g. rows without a gap window).
+"""
+
+from __future__ import annotations
+
+
+def _ppm(bits, dev):
+    s, l, y = dev.short_width, dev.long_width, dev.sync_width
+    g, r, t = dev.gap_limit, dev.reset_limit, dev.tolerance
+    pulse = min(max(s, 100.0), 1000.0)
+    if t > 0:
+        zero, one = s, l
+        row_gap = l + t + (r - (l + t)) / 2
+        if y > 0 and abs(row_gap - y) <= t:
+            row_gap = (y + t + r) / 2
+        if row_gap >= r or row_gap <= l + t:
+            row_gap = None
+    else:
+        zero, one = s, l
+        one_u = g if g else r
+        row_gap = (one_u + r) / 2 if one_u < r else None
+    end_gap = r * 1.5 + 1000
+    train = []
+    for row in range(bits.num_rows):
+        for _ in range(bits.syncs_before_row[row]):
+            if y <= 0:
+                return None
+            train.append((pulse, y))
+        n = bits.bits_per_row[row]
+        rowbits = _row_str(bits, row)
+        for b in rowbits:
+            train.append((pulse, one if b == "1" else zero))
+        if row < bits.num_rows - 1:
+            if row_gap is None:
+                return None
+            train.append((pulse, row_gap))
+    train.append((pulse, end_gap))
+    return train
+
+
+def _pwm(bits, dev):
+    s, l, y = dev.short_width, dev.long_width, dev.sync_width
+    g, r, t = dev.gap_limit, dev.reset_limit, dev.tolerance
+    end_gap = r * 1.5 + 1000
+    # inter-bit gap must stay below gap_limit (or reset when no gap_limit)
+    lim = g if g > 0 else r
+    gap = min(lim / 2, max(s, 100.0))
+    if gap <= 0:
+        return None
+    row_gap = (g + r) / 2 if 0 < g < r else None
+    train = []
+    for row in range(bits.num_rows):
+        for _ in range(bits.syncs_before_row[row]):
+            if y <= 0:
+                return None
+            train.append((y, gap))
+        for b in _row_str(bits, row):
+            train.append((s if b == "1" else l, gap))
+        if row < bits.num_rows - 1:
+            if row_gap is None:
+                return None
+            train[-1] = (train[-1][0], row_gap)
+    if not train:
+        return None
+    train[-1] = (train[-1][0], end_gap)
+    return train
+
+
+def _pcm(bits, dev):
+    s, l = dev.short_width, dev.long_width
+    g, r = dev.gap_limit, dev.reset_limit
+    end_gap = r * 1.5 + 1000
+    if bits.num_rows != 1:
+        return None  # row structure via gap_limit windows: not generated
+    rowbits = _row_str(bits, 0)
+    if not rowbits or rowbits[0] != "1":
+        return None  # a leading gap cannot be transmitted
+    train = []
+    i = 0
+    n = len(rowbits)
+    if s == l:  # NRZ
+        while i < n:
+            j = i
+            while j < n and rowbits[j] == "1":
+                j += 1
+            ones = j - i
+            k = j
+            while k < n and rowbits[k] == "0":
+                k += 1
+            zeros = k - j
+            if k >= n:
+                train.append((ones * s, max(zeros * l, 0) + end_gap))
+            else:
+                train.append((ones * s, zeros * l))
+            i = k
+    else:  # RZ: pulse=short, bit period=long
+        while i < n:
+            # each 1 is a short pulse; following zeros extend the gap
+            j = i + 1
+            while j < n and rowbits[j] == "0":
+                j += 1
+            zeros = j - i - 1
+            if j >= n:
+                train.append((s, (l - s) + zeros * l + end_gap))
+            else:
+                train.append((s, (l - s) + zeros * l))
+            i = j
+    return train
+
+
+def _dmc(bits, dev):
+    s, l, r = dev.short_width, dev.long_width, dev.reset_limit
+    t = dev.tolerance
+    if t <= 0:
+        return None
+    widths = []
+    for row in range(bits.num_rows):
+        for b in _row_str(bits, row):
+            if b == "1":
+                widths += [s, s]
+            else:
+                widths += [l]
+        widths += [r + t + 2000]  # row/message terminator symbol
+    # pair alternating pulse/gap
+    if len(widths) % 2:
+        widths += [r + t + 2000]
+    train = [(widths[i], widths[i + 1]) for i in range(0, len(widths), 2)]
+    return train
+
+
+def _mc_zerobit(bits, dev):
+    """Manchester, first bit hardcoded 0: bit boundaries every 2*short;
+    a 1 reads as accumulated high > 1.5*short, a 0 as accumulated low."""
+    s, r = dev.short_width, dev.reset_limit
+    end_gap = r * 1.5 + 1000
+    if bits.num_rows != 1:
+        return None
+    rowbits = _row_str(bits, 0)
+    if not rowbits or rowbits[0] != "0":
+        return None  # the slicer hardcodes a leading zero
+    # G.E. Thomas halves (1 -> high,low ; 0 -> low,high), leading low
+    # half-bits stripped (silence); validated by round-trip through the
+    # forward slicer.
+    levels = []
+    for b in rowbits:
+        levels += [1, 0] if b == "1" else [0, 1]
+    i0 = 0
+    while i0 < len(levels) and levels[i0] == 0:
+        i0 += 1
+    levels = levels[i0:]
+    if not levels:
+        return None
+    train = []
+    i = 0
+    n = len(levels)
+    while i < n:
+        j = i
+        while j < n and levels[j] == 1:
+            j += 1
+        k = j
+        while k < n and levels[k] == 0:
+            k += 1
+        train.append(((j - i) * s, (k - j) * s))
+        i = k
+    train[-1] = (train[-1][0], train[-1][1] + end_gap)
+    return train
+
+
+def _row_str(bits, row):
+    n = bits.bits_per_row[row]
+    flat = bits.bb[row:].reshape(-1)
+    return "".join(str((flat[i >> 3] >> (7 - (i & 7))) & 1) for i in range(n))
+
+
+MODULATORS = {
+    "OOK_PULSE_PPM": _ppm,
+    "OOK_PULSE_PWM": _pwm,
+    "FSK_PULSE_PWM": _pwm,
+    "OOK_PULSE_PCM": _pcm,
+    "OOK_PULSE_RZ": _pcm,
+    "FSK_PULSE_PCM": _pcm,
+    "OOK_PULSE_DMC": _dmc,
+    "OOK_PULSE_MANCHESTER_ZEROBIT": _mc_zerobit,
+    "FSK_PULSE_MANCHESTER_ZEROBIT": _mc_zerobit,
+}
+
+
+def modulate(bits, dev):
+    """BitBuffer + RDevice -> [(pulse_us, gap_us), ...] or None."""
+    fn = MODULATORS.get(dev.modulation)
+    if fn is None:
+        return None
+    try:
+        return fn(bits, dev)
+    except Exception:
+        return None

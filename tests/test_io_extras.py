@@ -111,3 +111,19 @@ def test_cli_conf_and_stats(tmp_path):
     stats = json.loads(lines[-1])
     assert stats["frames"]["count"] >= 1
     assert any(s["ok"] >= 1 for s in stats["stats"])
+
+
+def test_shipped_conf_examples_load():
+    """Every conf/ example must parse and create a working flex decoder."""
+    import glob
+    import os
+    from rtl_433_tpu.confparse import parse_conf_file
+    from rtl_433_tpu.decoders.flex import flex_create_device
+    files = glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                   "conf", "*.conf"))
+    assert len(files) >= 20
+    for path in files:
+        args = parse_conf_file(path)
+        assert args and args[0] == "-X", path
+        dev = flex_create_device(args[1])
+        assert dev.decode_fn is not None, path

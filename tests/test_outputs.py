@@ -196,3 +196,86 @@ def test_http_server_endpoints():
         s.close()
     finally:
         sink.close()
+
+
+def test_kv_layout_and_colors():
+    """-F kv: 26-column alignment, break rules, per-key value colors
+    (ref src/output_file.c:326-370, :183-216)."""
+    from rtl_433_tpu.output.data_model import Event, event_to_kv
+    ev = Event.make(("time", "2026-08-17 00:00:00"), ("model", "Nexus-TH"),
+                    ("id", 156, "House Code"), ("channel", 1, "Channel"),
+                    ("temperature_C", 21.5, "Temperature", "%.2f C"))
+    plain = event_to_kv(ev)
+    lines = plain.splitlines()
+    assert lines[0].startswith("time      : ")
+    assert lines[1].startswith("model     : ")      # break before model
+    assert "House Code: 156" in lines[1]            # aligned on same line
+    assert lines[2].startswith("Channel")           # break after id
+    colored = event_to_kv(ev, color=True)
+    assert "\033[31mNexus-TH\033[0m" in colored     # model = red
+    assert "\033[34m2026-08-17" in colored          # time = blue
+
+
+def test_gpsd_tagger_live():
+    """-K gpsd live tag: WATCH handshake, TPV filter, include keys
+    (ref src/data_tag.c:26-180)."""
+    import json as _json
+    import socket
+    import threading
+    import time
+
+    from rtl_433_tpu.output.data_model import Event
+    from rtl_433_tpu.output.network import DataTagger
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    got_watch = []
+
+    def serve():
+        conn, _ = srv.accept()
+        got_watch.append(conn.recv(256))
+        conn.sendall(b'{"class":"VERSION","release":"3.0"}\n')
+        conn.sendall(b'{"class":"TPV","lat":12.34,"lon":56.78,"alt":9.0}\n')
+        time.sleep(1.0)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    tagger = DataTagger(f"gpsd:127.0.0.1:{port},lat,lon")
+    try:
+        deadline = time.monotonic() + 5
+        while not tagger.client.msg and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert tagger.client.msg.startswith('{"class":"TPV"')
+        assert b"WATCH" in got_watch[0]
+        ev = tagger(Event.make(("model", "Test")))
+        assert ev.get("lat") == 12.34
+        assert ev.get("lon") == 56.78
+        assert "alt" not in ev  # not in the include list
+    finally:
+        tagger.close()
+        srv.close()
+
+
+def test_mqtts_cli_flags():
+    """mqtts/tls options reach the client config (no handshake here)."""
+    from rtl_433_tpu.output.network import MqttClient
+    c = MqttClient("h", 8883, tls=True, tls_insecure=True)
+    assert c.tls and c.tls_insecure
+    c2 = MqttClient("h", 8883, tls_ca_cert="/tmp/ca.pem")
+    assert c2.tls
+
+
+def test_noise_tracking_and_squelch():
+    """r_flow noise EWMA + -Y squelch skip (ref src/r_flow.c:166-194)."""
+    import numpy as np
+    from rtl_433_tpu.api import RtlTpu
+    rx = RtlTpu(register_all=False, squelch=True)
+    rx.registry.register(19)
+    noise = np.random.default_rng(0).integers(
+        123, 133, size=(16384, 2), dtype=np.uint8)
+    rx.push_block(noise)
+    assert rx.total_frames_squelch == 1
+    assert rx.noise_level != 0.0
