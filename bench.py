@@ -115,9 +115,9 @@ def main():
 
     params = DetectorParams(sample_rate=250_000, fsk_minmax=False,
                             enable_fm=True, unroll=16 if on_tpu else 1,
-                            chunk=512 if on_tpu else 128,
-                            ring=64 if on_tpu else 8,
-                            eops=4 if on_tpu else 2,
+                            chunk=128,
+                            ring=8,
+                            eops=2,
                             pallas_frontend=on_tpu)
 
     registry = Registry()

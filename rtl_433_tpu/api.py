@@ -155,9 +155,9 @@ class RtlTpu:
                 # fused Pallas front-end + all-idle fast path on hardware;
                 # wider drain interval amortizes the publish path on dense
                 # signal (overflow tracked in n_ring_ovf)
-                chunk=512 if on_tpu else 128,
-                ring=64 if on_tpu else 8,
-                eops=4 if on_tpu else 2,
+                chunk=128,
+                ring=8,
+                eops=2,
                 pallas_frontend=on_tpu)
             self._state = detector_init(self._params, self.channels)
             import jax

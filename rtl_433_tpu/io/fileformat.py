@@ -32,14 +32,16 @@ class FileInfo:
 _NUM = re.compile(r"^(\d+(?:\.\d+)?)([kKmMgG]?)(hz|sps|hZ|Hz|HZ)?$")
 
 
-def _parse_num_token(tok):
+def _parse_num_token(tok, with_suffix=False):
     m = _NUM.match(tok)
     if not m:
-        return None, None
+        return (None, None, None) if with_suffix else (None, None)
     val = float(m.group(1))
     suffix = m.group(2).lower()
     val *= {"": 1, "k": 1e3, "m": 1e6, "g": 1e9}[suffix]
     unit = (m.group(3) or "").lower()
+    if with_suffix:
+        return val, unit, suffix
     return val, unit
 
 
@@ -77,21 +79,20 @@ def parse_filename(path: str) -> FileInfo:
                 info.format = fmt
             stem = stem[: -(len(fmt) + 1)]
             break
-    # tokens separated by _ or -
+    # tokens separated by _ or -; the suffix decides the kind exactly like
+    # the reference (ref src/fileformat.c:214-219): "M" -> frequency,
+    # "k" -> sample rate, "[kMG]Hz" -> frequency, "[kM]sps" -> sample rate
     for tok in re.split(r"[_\-\s]+", stem):
-        val, unit = _parse_num_token(tok)
+        val, unit, suffix = _parse_num_token(tok, with_suffix=True)
         if val is None:
             continue
-        if unit in ("hz",):
-            if val > 1e5:
-                info.center_frequency = val
-            else:
-                info.sample_rate = int(val)
+        if unit == "hz":
+            info.center_frequency = val
         elif unit == "sps":
             info.sample_rate = int(val)
-        elif val >= 1e6 and val < 3e9:
+        elif suffix == "m":
             info.center_frequency = val
-        elif 1e3 <= val < 1e6 and "k" in tok.lower():
+        elif suffix == "k":
             info.sample_rate = int(val)
     return info
 

@@ -678,6 +678,8 @@ def test_decoder_mutation_fuzz(rtl433, num, code, min_events):
     """Bit-flip mutations of known-good vectors must produce identical
     accept/reject decisions and identical events on both implementations."""
     import random
+    if not code.lstrip().startswith("{"):
+        pytest.skip("RfRaw pulse-train vector: no {n}hex groups to mutate")
     numkey = int(str(num).split(":")[0])
     rng = random.Random(numkey * 1000 + len(code))
     import re
