@@ -620,105 +620,72 @@ def _fsk_minmax(r, fm, gate):
 # ---------------------------------------------------------------------------
 # Block-level record log.
 #
-# The FSM appends at most one record per sample into a small per-chunk ring;
-# each chunk's ring is copied into a per-block log at a static offset (a
-# contiguous dynamic_update_slice — no scatter). ONE end-of-block pass then
-# sorts the log by (fsk, generation, pulse index) and materializes published
-# packages and the cross-block carry with pure gathers. This replaced a
-# per-chunk scatter drain that dominated the signal-dense hot path (round-2
-# profiling: 5.4 s vs 0.38 s per 4096x131072 block).
+# The FSM commits at most one record per sample into a small per-chunk
+# ring; the chunk scan EMITS each chunk's ring as a scan output (ys), so
+# the stacked [n_chunks, C, R] log costs nothing to build (no carried
+# buffers, no scatters in the loop). ONE end-of-block pass dedups the log
+# (FSK-rewind recommits are near-adjacent: a shifted-compare keep-last
+# suffices) and publishes via TWO record->slot scatters plus a carry
+# rebuild — replacing both the old per-chunk scatter drain (4.4 s/block
+# signal-dense) and a binary-search publish (searchsorted lowers to
+# ~0.6 s per lookup batch on TPU).
 #
-# Record key layout (sort key, int32 when the block fits 2^18 samples):
+# Record key layout (int32; process_block segments blocks over 2^17
+# samples so relgen < 2^16 always fits):
 #   [ fsk | relgen | idx ]  with relgen = gen - gen_at_block_start.
-# A stable ascending sort keeps recommits (FSK rewinds) in append order, so
-# the RIGHTMOST record of a key run is the live value — binary-searchable
-# per (fsk, relgen, idx) query.
 
 _KEY_IDX_BITS = 12      # idx <= PD_MAX_PULSES < 2^12
+_KEY_FSK_SHIFT = 1 << 29
+_KEY_INVALID = 1 << 30
+_DEDUP_WINDOW = 12      # FSK rewind recommits land within a few records
 
 
-def _key_consts(n_samples: int):
-    """(dtype, fsk_shift, gen_shift, invalid) for a block of n_samples.
-
-    relgen is bounded by the number of package starts in a block (< one
-    per 2 samples, so < 2^16 for the int32 range here); process_block
-    segments larger inputs so keys always fit int32 (JAX default dtypes).
-    """
-    assert n_samples <= (1 << 17), "block too large for int32 record keys"
-    return jnp.int32, 1 << 29, 1 << _KEY_IDX_BITS, (1 << 30)
+def _max_block_samples():
+    return 1 << 17
 
 
-def _empty_logs(params: DetectorParams, C: int, n_chunks: int, key_dtype,
-                invalid):
-    R, E = params.ring, params.eops
-    S = (n_chunks + 1) * R          # +1 chunk reserved for the EOF flush
-    Et = (n_chunks + 1) * E
-    return {
-        "log_key": jnp.full((C, S), invalid, key_dtype),
-        "log_p": jnp.zeros((C, S), jnp.int32),
-        "log_g": jnp.zeros((C, S), jnp.int32),
-        "eop_log": jnp.zeros((C, Et, META_FIELDS), jnp.int32),
-    }
-
-
-def _ring_keys(r, key_dtype, fsk_shift, invalid):
-    """Per-chunk ring -> sort keys [C, R] (invalid slots sort to the end)."""
+def _ring_keys(r, gen0):
+    """Per-chunk ring -> record keys [C, R] (invalid slots get _KEY_INVALID)."""
     tag = r["ring_tag"]
     valid = (tag & 1) == 1
-    fsk = ((tag >> 1) & 1).astype(key_dtype)
-    relgen = ((tag >> 2) - r["gen0"][:, None]).astype(key_dtype)
-    idx = r["ring_idx"].astype(key_dtype)
-    key = fsk * fsk_shift + relgen * (1 << _KEY_IDX_BITS) + idx
-    return jnp.where(valid, key, jnp.asarray(invalid, key_dtype))
+    fsk = (tag >> 1) & 1
+    relgen = (tag >> 2) - gen0[:, None]
+    key = fsk * _KEY_FSK_SHIFT + relgen * (1 << _KEY_IDX_BITS) + r["ring_idx"]
+    return jnp.where(valid, key, _KEY_INVALID)
 
 
-def _append_chunk(params: DetectorParams, r, k, key_dtype, fsk_shift,
-                  invalid):
-    """Copy the chunk's ring + EOP records into the block log at chunk k."""
-    R, E = params.ring, params.eops
-    key = _ring_keys(r, key_dtype, fsk_shift, invalid)
-    off = k * R
-    r["log_key"] = lax.dynamic_update_slice(r["log_key"], key, (0, off))
-    r["log_p"] = lax.dynamic_update_slice(r["log_p"], r["ring_p"], (0, off))
-    r["log_g"] = lax.dynamic_update_slice(r["log_g"], r["ring_g"], (0, off))
-    r["eop_log"] = lax.dynamic_update_slice(
-        r["eop_log"], r["eop_meta"], (0, k * E, 0))
-    r["ring_tag"] = jnp.zeros_like(r["ring_tag"])
-    r["ring_wpos"] = jnp.zeros_like(r["ring_wpos"])
-    r["eop_meta"] = jnp.zeros_like(r["eop_meta"])
-    r["eop_wpos"] = jnp.zeros_like(r["eop_wpos"])
-    return r
+def _keep_last(log_key):
+    """Keep-last dedup: a record is dead if a later record within the next
+    _DEDUP_WINDOW log slots carries the same key (recommits are emitted
+    immediately after the records they correct, so the window is small)."""
+    C, S = log_key.shape
+    keep = log_key < _KEY_INVALID
+    for d in range(1, _DEDUP_WINDOW + 1):
+        nxt = jnp.concatenate(
+            [log_key[:, d:], jnp.full((C, d), -1, log_key.dtype)], axis=1)
+        keep = keep & (log_key != nxt)
+    return keep
 
 
-def _lookup(skey, svals, qkey, fallback):
-    """Rightmost-match binary search per channel row.
+def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
+                 gen0):
+    """End-of-block publish + carry rebuild (no per-chunk work).
 
-    skey [C, S] ascending; qkey [C, Q]; returns fallback where absent.
+    log_key/log_p/log_g: [C, S] record log in temporal order;
+    eop_log: [C, Et, META_FIELDS] EOP metadata in temporal order.
     """
-    ix = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
-        skey, qkey)
-    ixm = jnp.maximum(ix - 1, 0)
-    hit = (ix > 0) & (jnp.take_along_axis(skey, ixm, axis=1) == qkey)
-    return jnp.where(hit, jnp.take_along_axis(svals, ixm, axis=1), fallback)
-
-
-def _drain_block(params: DetectorParams, r, gen0, key_dtype, fsk_shift,
-                 invalid):
-    """End-of-block: publish EOP'd packages and rebuild the carry.
-
-    Pure sort + gather: no scatters touch the [C, cap, 1200] stores.
-    """
-    C, S = r["log_key"].shape
+    C, S = log_key.shape
     cap = params.pkg_cap
     mp = params.max_pulses
     gshift = 1 << _KEY_IDX_BITS
 
-    order = jnp.argsort(r["log_key"], axis=1, stable=True)
-    skey = jnp.take_along_axis(r["log_key"], order, axis=1)
-    sp = jnp.take_along_axis(r["log_p"], order, axis=1)
-    sg = jnp.take_along_axis(r["log_g"], order, axis=1)
+    keep = _keep_last(log_key)
+    rec_fsk = (log_key // _KEY_FSK_SHIFT).astype(jnp.int32)
+    rem = log_key - rec_fsk * _KEY_FSK_SHIFT
+    rec_relg = rem // gshift
+    rec_idx = rem - rec_relg * gshift
 
-    eop_log = r["eop_log"]                       # [C, Et, F], append order
+    # EOP -> output slot assignment (temporal order, capped at pkg_cap)
     et_valid = eop_log[:, :, M_TYPE] != PKG_NONE
     eop_ord = jnp.cumsum(et_valid.astype(jnp.int32), axis=1) - 1
     slot = r["out_n"][:, None] + eop_ord
@@ -727,51 +694,78 @@ def _drain_block(params: DetectorParams, r, gen0, key_dtype, fsk_shift,
         jnp.sum(et_valid & ~can, axis=1).astype(jnp.int32)
     new_out_n = r["out_n"] + jnp.sum(et_valid, axis=1).astype(jnp.int32)
 
-    pos = jnp.arange(mp, dtype=key_dtype)[None, :]          # [1, P]
-    gen0k = gen0.astype(key_dtype)
-
+    # per-slot (side, relgen) tables + meta/fallback prefill
+    has_tab = jnp.zeros((C, cap), bool)
+    side_tab = jnp.zeros((C, cap), jnp.int32)
+    relg_tab = jnp.full((C, cap), -1, jnp.int32)
+    gen0k = gen0
     for s in range(cap):
         sel = can & (slot == s)
-        has = jnp.any(sel, axis=1)                          # [C]
+        has = jnp.any(sel, axis=1)
         e_idx = jnp.argmax(sel, axis=1)
         meta_row = jnp.take_along_axis(
             eop_log, e_idx[:, None, None].repeat(META_FIELDS, 2),
             axis=1)[:, 0]                                   # [C, F]
-        side = (meta_row[:, M_TYPE] == PKG_FSK)
-        relg = jnp.maximum(meta_row[:, M_GEN].astype(key_dtype) - gen0k, 0)
-        qkey = (side.astype(key_dtype)[:, None] * fsk_shift
-                + relg[:, None] * gshift + pos)             # [C, P]
-        side_i = side.astype(jnp.int32)
+        side = (meta_row[:, M_TYPE] == PKG_FSK).astype(jnp.int32)
+        relg = jnp.maximum(meta_row[:, M_GEN] - gen0k, 0)
+        has_tab = has_tab.at[:, s].set(has)
+        side_tab = side_tab.at[:, s].set(side)
+        relg_tab = relg_tab.at[:, s].set(jnp.where(has, relg, -1))
+        r["out_meta"] = r["out_meta"].at[:, s, :].set(
+            jnp.where(has[:, None], meta_row, r["out_meta"][:, s, :]))
+        # prefill the slot with the cross-block carry when the package
+        # started before this block (relgen == 0), else zeros
         fb_p = jnp.take_along_axis(
-            r["carry_p"], side_i[:, None, None].repeat(mp, 2), axis=1)[:, 0]
+            r["carry_p"], side[:, None, None].repeat(mp, 2), axis=1)[:, 0]
         fb_g = jnp.take_along_axis(
-            r["carry_g"], side_i[:, None, None].repeat(mp, 2), axis=1)[:, 0]
-        started_earlier = (relg == 0)[:, None]
-        fb_p = jnp.where(started_earlier, fb_p, 0)
-        fb_g = jnp.where(started_earlier, fb_g, 0)
-        tp = _lookup(skey, sp, qkey, fb_p)
-        tg = _lookup(skey, sg, qkey, fb_g)
+            r["carry_g"], side[:, None, None].repeat(mp, 2), axis=1)[:, 0]
+        use_carry = (has & (relg == 0))[:, None]
+        fb_p = jnp.where(use_carry, fb_p, 0)
+        fb_g = jnp.where(use_carry, fb_g, 0)
         hasn = has[:, None]
         r["out_p"] = r["out_p"].at[:, s, :].set(
-            jnp.where(hasn, tp, r["out_p"][:, s, :]))
+            jnp.where(hasn, fb_p, r["out_p"][:, s, :]))
         r["out_g"] = r["out_g"].at[:, s, :].set(
-            jnp.where(hasn, tg, r["out_g"][:, s, :]))
-        r["out_meta"] = r["out_meta"].at[:, s, :].set(
-            jnp.where(hasn, meta_row, r["out_meta"][:, s, :]))
+            jnp.where(hasn, fb_g, r["out_g"][:, s, :]))
     r["out_n"] = new_out_n
 
-    # carry = the still-open package's records (gen after the scan)
-    rel_last = jnp.maximum((r["gen"] - gen0).astype(key_dtype), 0)
-    for side in range(2):
-        qkey = (jnp.asarray(side, key_dtype) * fsk_shift
-                + rel_last[:, None] * gshift + pos)
-        open_from_earlier = (rel_last == 0)[:, None]
-        fb_p = jnp.where(open_from_earlier, r["carry_p"][:, side, :], 0)
-        fb_g = jnp.where(open_from_earlier, r["carry_g"][:, side, :], 0)
-        cp = _lookup(skey, sp, qkey, fb_p)
-        cg = _lookup(skey, sg, qkey, fb_g)
-        r["carry_p"] = r["carry_p"].at[:, side, :].set(cp)
-        r["carry_g"] = r["carry_g"].at[:, side, :].set(cg)
+    # record -> slot mapping, then ONE scatter each for pulses and gaps
+    match = (has_tab[:, None, :]
+             & (side_tab[:, None, :] == rec_fsk[:, :, None])
+             & (relg_tab[:, None, :] == rec_relg[:, :, None]))  # [C, S, cap]
+    rec_slot = jnp.where(jnp.any(match, axis=2),
+                         jnp.argmax(match, axis=2), cap)
+    rec_slot = jnp.where(keep, rec_slot, cap)                 # OOB -> drop
+    c_iota = lax.broadcasted_iota(jnp.int32, (C, S), 0)
+    scat = jnp.stack([c_iota.reshape(-1), rec_slot.reshape(-1),
+                      rec_idx.astype(jnp.int32).reshape(-1)], axis=-1)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=(0, 1, 2),
+        scatter_dims_to_operand_dims=(0, 1, 2))
+    # deduped records have unique in-bounds targets; the unique promise
+    # lets XLA vectorize the scatter instead of serializing updates
+    r["out_p"] = lax.scatter(r["out_p"], scat, log_p.reshape(-1), dnums,
+                             unique_indices=True,
+                             mode=lax.GatherScatterMode.FILL_OR_DROP)
+    r["out_g"] = lax.scatter(r["out_g"], scat, log_g.reshape(-1), dnums,
+                             unique_indices=True,
+                             mode=lax.GatherScatterMode.FILL_OR_DROP)
+
+    # carry rebuild: the still-open package's records (gen after the scan)
+    rel_last = jnp.maximum(r["gen"] - gen0, 0)
+    keep_carry = (rel_last == 0)[:, None, None]
+    r["carry_p"] = jnp.where(keep_carry, r["carry_p"], 0)
+    r["carry_g"] = jnp.where(keep_carry, r["carry_g"], 0)
+    is_open = keep & (rec_relg == rel_last[:, None])
+    carry_side = jnp.where(is_open, rec_fsk, 2)               # OOB -> drop
+    scat2 = jnp.stack([c_iota.reshape(-1), carry_side.reshape(-1),
+                       rec_idx.astype(jnp.int32).reshape(-1)], axis=-1)
+    r["carry_p"] = lax.scatter(r["carry_p"], scat2, log_p.reshape(-1),
+                               dnums, unique_indices=True,
+                               mode=lax.GatherScatterMode.FILL_OR_DROP)
+    r["carry_g"] = lax.scatter(r["carry_g"], scat2, log_g.reshape(-1),
+                               dnums, unique_indices=True,
+                               mode=lax.GatherScatterMode.FILL_OR_DROP)
     return r
 
 
@@ -811,7 +805,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         n_valid = jnp.asarray(n_valid, jnp.int32)
 
     # segment very large blocks so record-log sort keys stay int32
-    # (see _key_consts); state threads through, flush only on the last
+    # (int32 record keys); state threads through, flush only on the last
     SEG = 1 << 17
     if N > SEG:
         assert N % SEG == 0 or N % params.chunk == 0
@@ -871,10 +865,8 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     regs["pkg_start"] = regs["pkg_start"] - (N if n_valid is None else n_valid)
     regs.update(_empty_ring(params, C))
 
-    key_dtype, fsk_shift, _gshift, invalid = _key_consts(N)
+    assert N <= _max_block_samples()  # int32 record keys (see segmentation)
     gen0 = regs["gen"]
-    regs["gen0"] = gen0
-    regs.update(_empty_logs(params, C, N // params.chunk, key_dtype, invalid))
 
     Ts = params.chunk
     U = params.unroll
@@ -900,7 +892,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     # keeping them out of the fast-path cond avoids copying them through
     # its branches every chunk
     drain_only_keys = ("carry_p", "carry_g", "out_p", "out_g", "out_meta",
-                       "out_n", "log_key", "log_p", "log_g", "eop_log")
+                       "out_n")
 
     def fsm_scan(carry, am_c, phi_c, t_c):
         def step(rr, x):
@@ -916,13 +908,22 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         rr, _ = lax.scan(step, carry, (am_c, phi_c, t_c))
         return rr
 
-    def full_chunk(carry, am_c, phi_c, t_c, k):
+    def emit_ring(carry):
+        """Scan output: this chunk's records + EOP metas; reset the ring."""
+        ys = (_ring_keys(carry, gen0), carry["ring_p"], carry["ring_g"],
+              carry["eop_meta"])
+        carry["ring_tag"] = jnp.zeros_like(carry["ring_tag"])
+        carry["ring_wpos"] = jnp.zeros_like(carry["ring_wpos"])
+        carry["eop_meta"] = jnp.zeros_like(carry["eop_meta"])
+        carry["eop_wpos"] = jnp.zeros_like(carry["eop_wpos"])
+        return carry, ys
+
+    def full_chunk(carry, am_c, phi_c, t_c):
         small = {kk: v for kk, v in carry.items()
                  if kk not in drain_only_keys}
         small = fsm_scan(small, am_c, phi_c, t_c)
         carry = dict(carry, **small)
-        return _append_chunk(params, carry, k, key_dtype, fsk_shift,
-                             invalid)
+        return emit_ring(carry)
 
     def quiet_chunk(carry, am_c):
         """All-idle fast path: when every channel stays IDLE and below
@@ -953,12 +954,11 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
 
     def chunk_body(carry, xs):
         am_c, phi_c, t_c = xs
-        k = t_c[0, 0] // Ts
         # The all-idle fast path needs the *filtered* am stream and kernel-
         # owned IIR carries, i.e. the Pallas front-end; the fallback path
         # computes the IIRs inside _step so every sample must run it.
         if n_valid is not None or not prefiltered:
-            return full_chunk(carry, am_c, phi_c, t_c, k), ()
+            return full_chunk(carry, am_c, phi_c, t_c)
         # fast-path proof: all channels IDLE, and no sample can cross the
         # (conservatively lower-bounded) hysteresis threshold this chunk.
         # low_est never drops below min(low0, chunk min am) - 2 during an
@@ -982,35 +982,37 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
                          lambda c: fsm_scan(c, am_c, phi_c, t_c),
                          small)
         carry = dict(carry, **small)
-        # unconditional append: a workless chunk writes invalid keys over
-        # pre-invalid slots (contiguous DUS — cheap; a cond here would
-        # thread the log buffers through both branches)
-        carry = _append_chunk(params, carry, k, key_dtype, fsk_shift,
-                              invalid)
-        return carry, ()
+        return emit_ring(carry)
 
-    regs, _ = lax.scan(chunk_body, regs, (am_x, phi_x, t_x))
+    regs, (ky, py, gy, ey) = lax.scan(chunk_body, regs, (am_x, phi_x, t_x))
+
+    # stacked scan outputs -> per-block record/EOP logs in temporal order
+    R, E = params.ring, params.eops
+    log_key = jnp.swapaxes(ky, 0, 1).reshape(C, n_chunks * R)
+    log_p = jnp.swapaxes(py, 0, 1).reshape(C, n_chunks * R)
+    log_g = jnp.swapaxes(gy, 0, 1).reshape(C, n_chunks * R)
+    eop_log = jnp.swapaxes(ey, 0, 1).reshape(C, n_chunks * E, META_FIELDS)
 
     if flush:
-        regs = _flush(params, regs, N if n_valid is None else n_valid,
-                      n_chunks, key_dtype, fsk_shift, invalid)
+        regs, frow = _flush(params, regs, N if n_valid is None else n_valid,
+                            gen0)
+        log_key = jnp.concatenate([log_key, frow[0]], axis=1)
+        log_p = jnp.concatenate([log_p, frow[1]], axis=1)
+        log_g = jnp.concatenate([log_g, frow[2]], axis=1)
+        eop_log = jnp.concatenate([eop_log, frow[3]], axis=1)
 
-    regs = _drain_block(params, regs, gen0, key_dtype, fsk_shift, invalid)
+    regs = _drain_block(params, regs, log_key, log_p, log_g, eop_log, gen0)
 
-    # drop transient ring/log keys from persistent state
+    # drop transient ring keys from persistent state
     for k in _empty_ring(params, C):
         regs.pop(k)
-    for k in _empty_logs(params, C, 1, key_dtype, invalid):
-        regs.pop(k)
-    regs.pop("gen0")
     return regs, avg_db
 
 
-def _flush(params: DetectorParams, r, N, n_chunks, key_dtype, fsk_shift,
-           invalid):
+def _flush(params: DetectorParams, r, N, gen0):
     """EOF flush (len==0 call, ref src/pulse_detect.c:203-278): finalize any
-    partial package so file decodes match streaming decodes. Appends the
-    final record + EOP into the log's reserved flush slot."""
+    partial package so file decodes match streaming decodes. Returns the
+    flush record/EOP log rows to append to the block log."""
     st = r["ook_state"]
     C = st.shape[0]
     r = dict(r)
@@ -1077,10 +1079,12 @@ def _flush(params: DetectorParams, r, N, n_chunks, key_dtype, fsk_shift,
     r["eop_meta"] = r["eop_meta"].at[:, 0, :].set(meta)
     r["eop_wpos"] = pub.astype(jnp.int32)
 
-    r = _append_chunk(params, r, n_chunks, key_dtype, fsk_shift, invalid)
+    key_row = _ring_keys(r, gen0)[:, :1]
+    frow = (key_row, r["ring_p"][:, :1], r["ring_g"][:, :1],
+            r["eop_meta"][:, :1, :])
     r["ook_state"] = jnp.where(in_pulse | eff_gap_start | (st == ST_GAP) | spur_gap,
                                ST_IDLE, r["ook_state"])
-    return r
+    return r, frow
 
 
 def compact_packages(state, cap: int):
