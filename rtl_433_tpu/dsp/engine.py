@@ -96,6 +96,10 @@ class DetectorParams(NamedTuple):
                                       # compiles large bodies superlinearly)
     pallas_frontend: bool = False     # fused Pallas kernel for the AM/FM
                                       # estimators + IIRs (TPU; bit-exact)
+    log_cap: int = 2048               # kept records per channel per block
+                                      # fed to the publish scatters (~31%
+                                      # duty at 20-sample pulses; overflow
+                                      # counts into n_ring_ovf)
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -680,6 +684,21 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
     gshift = 1 << _KEY_IDX_BITS
 
     keep = _keep_last(log_key)
+    # compact kept records to [C, K]: a stable argsort on the keep flag
+    # moves live records to the front (temporal order preserved); the
+    # scatter cost below scales with the update count, and most log slots
+    # are empty. Overflow beyond K is counted, not silently dropped.
+    K = min(params.log_cap, log_key.shape[1])
+    order = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int8), axis=1,
+                        stable=True)[:, :K]
+    kept_n = jnp.sum(keep, axis=1).astype(jnp.int32)
+    r["n_ring_ovf"] = r["n_ring_ovf"] + jnp.maximum(kept_n - K, 0)
+    log_key = jnp.take_along_axis(log_key, order, axis=1)
+    log_p = jnp.take_along_axis(log_p, order, axis=1)
+    log_g = jnp.take_along_axis(log_g, order, axis=1)
+    keep = lax.broadcasted_iota(jnp.int32, (C, K), 1) < kept_n[:, None]
+    S = K
+
     rec_fsk = (log_key // _KEY_FSK_SHIFT).astype(jnp.int32)
     rem = log_key - rec_fsk * _KEY_FSK_SHIFT
     rec_relg = rem // gshift
@@ -1001,7 +1020,15 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         log_g = jnp.concatenate([log_g, frow[2]], axis=1)
         eop_log = jnp.concatenate([eop_log, frow[3]], axis=1)
 
-    regs = _drain_block(params, regs, log_key, log_p, log_g, eop_log, gen0)
+    # skip the whole publish pass when the block produced no records and
+    # no EOPs (the production noise case) — one cond per block
+    has_work = jnp.any(log_key < _KEY_INVALID) | \
+        jnp.any(eop_log[:, :, M_TYPE] != PKG_NONE)
+    regs = lax.cond(
+        has_work,
+        lambda rr: _drain_block(params, rr, log_key, log_p, log_g, eop_log,
+                                gen0),
+        lambda rr: rr, regs)
 
     # drop transient ring keys from persistent state
     for k in _empty_ring(params, C):
