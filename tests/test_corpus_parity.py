@@ -27,7 +27,7 @@ from synth import synth_ook, synth_fsk
 
 BIN = "/tmp/rtlbuild/src/rtl_433"
 
-MIN_PARITY_PROTOCOLS = 100
+MIN_PARITY_PROTOCOLS = 250
 
 
 def _normalize(ev):
@@ -79,8 +79,12 @@ def build_corpus_entry(num, code, tmpdir):
         seq.append((train[-1][0], True))
         if trailing > 0:
             seq.append((trailing, False))
-        iq = synth_fsk(seq, rate=rate, lead_in_us=16_000, tail_us=80_000,
-                       seed=num)
+        # scale the mark/space tones with the rate so the FM deviation stays
+        # above the FSK tracker's delta (6000 int16-phase units): a fixed
+        # 40 kHz separation is only ~2550 units at 1.024 MS/s
+        iq = synth_fsk(seq, rate=rate, f1_hz=rate * 60_000 / 250_000,
+                       f2_hz=rate * 20_000 / 250_000,
+                       lead_in_us=16_000, tail_us=80_000, seed=num)
     else:
         iq = synth_ook(train, rate=rate, lead_in_us=16_000, tail_us=80_000,
                        seed=num)
