@@ -62,6 +62,7 @@ class RtlTpu:
                  register_all: bool = True,
                  report_time_hires: bool = False,
                  report_time_utc: bool = False,
+                 report_time_tz: bool = False,
                  fixed_level_db: float = 0.0,
                  min_level_db: float = -12.1442,
                  min_snr_db: float = 9.0,
@@ -101,6 +102,7 @@ class RtlTpu:
         # noise tracking / squelch (ref src/r_flow.c:166-194)
         self.report_time_hires = report_time_hires
         self.report_time_utc = report_time_utc
+        self.report_time_tz = report_time_tz
         self.fixed_level_db = fixed_level_db
         self.min_level_db = min_level_db
         self.min_snr_db = min_snr_db
@@ -362,8 +364,10 @@ class RtlTpu:
                 # src/r_api.c:306-310 "@%fs")
                 ts = f"@{pd.offset / self.sample_rate:f}s"
             else:
-                # -M time:unix|iso[:usec][:utc] (ref src/r_api.c:306-332)
+                # -M time:unix|iso[:usec][:utc][:tz] (ref src/r_api.c:306-332)
                 now = _time.time()
+                tm = (_time.gmtime(now) if self.report_time_utc
+                      else _time.localtime(now))
                 if self.report_time == "unix":
                     ts = (f"{int(now)}.{int(now % 1 * 1e6):06d}"
                           if self.report_time_hires else str(int(now)))
@@ -373,11 +377,14 @@ class RtlTpu:
                     fmt = ("%Y-%m-%dT%H:%M:%S"
                            if self.report_time == "iso8601"
                            else "%Y-%m-%d %H:%M:%S")
-                    tm = (_time.gmtime(now) if self.report_time_utc
-                          else _time.localtime(now))
                     ts = _time.strftime(fmt, tm)
                     if self.report_time_hires:
                         ts += f".{int(now % 1 * 1e6):06d}"
+                if self.report_time_tz:
+                    # "+0000" collapses to "Z" (ref src/r_util.c:120-126)
+                    tzs = "+0000" if self.report_time_utc \
+                        else _time.strftime("%z", tm)
+                    ts += "Z" if tzs == "+0000" else tzs
             ev.prepend(("time", ts))
         self.events.append(ev)
         for sink in self.sinks:

@@ -177,14 +177,39 @@ def main(argv=None):
         # auto 1 MS/s above 800 MHz (ref src/rtl_433.c:558-562)
         rate = 1_024_000 if freq > 800_000_000 else 250_000
 
-    # -M time:rel|unix|iso|usec|tz|utc (ref src/rtl_433.c:688-720)
+    # -M time:rel|unix|iso|usec|sec|tz|utc|local (ref src/rtl_433.c:687-740);
+    # token matching is prefix-based and ordered as in the reference, so
+    # "notz" hits the "no" (= off) check first — a faithfully kept quirk
     time_parts = meta_opts.get("time", [])
     report_time = "iso" if ("time" in meta or in_files or test_codes) \
         else "off"
-    if "unix" in time_parts:
-        report_time = "unix"
-    elif "iso" in time_parts:
-        report_time = "iso8601"
+    time_hires = "usec" in time_parts
+    time_utc = "utc" in time_parts
+    time_tz = False
+    for p in time_parts:
+        lp = p.lower()
+        if lp.startswith(("0", "no", "off")):
+            report_time = "off"
+        elif lp.startswith(("1", "yes", "on")):
+            report_time = "iso"
+        elif lp.startswith("rel"):
+            report_time = "samples"
+        elif lp.startswith("unix"):
+            report_time = "unix"
+        elif lp.startswith("iso"):
+            report_time = "iso8601"
+        elif lp.startswith("usec"):
+            time_hires = True
+        elif lp.startswith("sec"):
+            time_hires = False
+        elif lp.startswith("tz"):
+            time_tz = True
+        elif lp.startswith("utc"):
+            time_utc = True
+        elif lp.startswith("local"):
+            time_utc = False
+        else:
+            print(f"Unknown time format option: {p}", file=sys.stderr)
     noise_parts = meta_opts.get("noise", [])
     if "noise" in meta:
         y_opts["report_noise"] = int(noise_parts[0]) if noise_parts else 1
@@ -195,8 +220,9 @@ def main(argv=None):
                 report_meta="level" in meta,
                 report_protocol="protocol" in meta,
                 report_time=report_time,
-                report_time_hires="usec" in time_parts,
-                report_time_utc="utc" in time_parts,
+                report_time_hires=time_hires,
+                report_time_utc=time_utc,
+                report_time_tz=time_tz,
                 verbosity=verbosity,
                 **y_opts,
                 register_all=not any(num == 0 for en, num, _ in protocols

@@ -80,41 +80,93 @@ def _pcm(bits, dev):
     s, l = dev.short_width, dev.long_width
     g, r = dev.gap_limit, dev.reset_limit
     end_gap = r * 1.5 + 1000
+    # inter-row gap: the slicer starts a new row for gaps in
+    # (gap_limit, reset] (slicers.py slicer_pcm)
+    row_gap = (g + r) / 2 if 0 < g < r else None
+    if bits.num_rows > 1 and row_gap is None:
+        return None
+    train = []
+    for row in range(bits.num_rows):
+        rowbits = _row_str(bits, row)
+        # leading zeros cannot be transmitted before the first pulse —
+        # trim them; decoders search for their sync anywhere in the row
+        # and BOTH pipelines replay the same IQ
+        rowbits = rowbits.lstrip("0")
+        if not rowbits:
+            return None
+        i = 0
+        n = len(rowbits)
+        rt = []
+        if s == l:  # NRZ
+            while i < n:
+                j = i
+                while j < n and rowbits[j] == "1":
+                    j += 1
+                ones = j - i
+                k = j
+                while k < n and rowbits[k] == "0":
+                    k += 1
+                zeros = k - j
+                if k >= n:
+                    rt.append((ones * s, max(zeros * l, 0)))
+                else:
+                    rt.append((ones * s, zeros * l))
+                i = k
+        else:  # RZ: pulse=short, bit period=long
+            while i < n:
+                j = i + 1
+                while j < n and rowbits[j] == "0":
+                    j += 1
+                zeros = j - i - 1
+                rt.append((s, (l - s) + zeros * l))
+                i = j
+        if row < bits.num_rows - 1:
+            rt[-1] = (rt[-1][0], rt[-1][1] + row_gap)
+        else:
+            rt[-1] = (rt[-1][0], rt[-1][1] + end_gap)
+        train += rt
+    return train
+
+
+def _piwm_dc(bits, dev):
+    """PIWM-DC: bit 1 = short symbol, 0 = long symbol, strictly
+    alternating pulse/gap (slicers.py slicer_piwm_dc)."""
+    s, l, r, t = (dev.short_width, dev.long_width, dev.reset_limit,
+                  dev.tolerance)
+    if t <= 0 or bits.num_rows != 1:
+        return None
+    widths = [s if b == "1" else l for b in _row_str(bits, 0)]
+    widths += [r * 1.5 + 1000 + t]
+    if len(widths) % 2:
+        widths += [r * 1.5 + 1000 + t]
+    return [(widths[i], widths[i + 1]) for i in range(0, len(widths), 2)]
+
+
+def _nrzs(bits, dev):
+    """NRZS: a pulse of k*short emits k ones + one zero; a sub-short pulse
+    emits a zero (slicers.py slicer_nrzs). Rows must end in a zero."""
+    s, r = dev.short_width, dev.reset_limit
     if bits.num_rows != 1:
-        return None  # row structure via gap_limit windows: not generated
+        return None
     rowbits = _row_str(bits, 0)
-    if not rowbits or rowbits[0] != "1":
-        return None  # a leading gap cannot be transmitted
     train = []
     i = 0
     n = len(rowbits)
-    if s == l:  # NRZ
-        while i < n:
+    while i < n:
+        if rowbits[i] == "1":
             j = i
             while j < n and rowbits[j] == "1":
                 j += 1
-            ones = j - i
-            k = j
-            while k < n and rowbits[k] == "0":
-                k += 1
-            zeros = k - j
-            if k >= n:
-                train.append((ones * s, max(zeros * l, 0) + end_gap))
-            else:
-                train.append((ones * s, zeros * l))
-            i = k
-    else:  # RZ: pulse=short, bit period=long
-        while i < n:
-            # each 1 is a short pulse; following zeros extend the gap
-            j = i + 1
-            while j < n and rowbits[j] == "0":
-                j += 1
-            zeros = j - i - 1
             if j >= n:
-                train.append((s, (l - s) + zeros * l + end_gap))
-            else:
-                train.append((s, (l - s) + zeros * l))
-            i = j
+                return None  # trailing ones have no closing zero
+            train.append(((j - i) * s + s * 0.4, s))  # k ones + the zero
+            i = j + 1
+        else:
+            train.append((s * 0.4, s))  # lone zero: sub-short pulse
+            i += 1
+    if not train:
+        return None
+    train[-1] = (train[-1][0], r * 1.5 + 1000)
     return train
 
 

@@ -27,7 +27,7 @@ from synth import synth_ook, synth_fsk
 
 BIN = "/tmp/rtlbuild/src/rtl_433"
 
-MIN_PARITY_PROTOCOLS = 250
+MIN_PARITY_PROTOCOLS = 270
 
 
 def _normalize(ev):
@@ -69,6 +69,15 @@ def build_corpus_entry(num, code, tmpdir):
     rate = 250_000 if dev.short_width >= 60 else 1_024_000
     if dev.is_fsk:
         seq = []
+        # the FSK tracker eats ~16 bit periods while locking (both
+        # pipelines identically), which can push length-gated decoders
+        # under their minimum (e.g. lacrosse_breezepro needs >=264 bits);
+        # real transmitters front-load extra preamble — do the same for
+        # PCM where a bit period is well-defined
+        if dev.short_width == dev.long_width and dev.short_width > 0:
+            for _ in range(10):
+                seq.append((dev.short_width, True))
+                seq.append((dev.short_width, False))
         for p, g in train[:-1]:
             seq.append((p, True))
             seq.append((g, False))

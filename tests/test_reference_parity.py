@@ -151,3 +151,46 @@ def test_noise_levels_parity(rtl433):
         noise = 10 * np.log10(max(e["ook_low_estimate"], 1)) - 42.1442
         assert abs(rssi - r["rssi"]) < 0.051, (rssi, r["rssi"])
         assert abs(noise - r["noise"]) < 0.051, (noise, r["noise"])
+
+
+def test_time_meta_parity(rtl433):
+    """-M time:... variants byte-match the reference (modulo the clock
+    instant): rel, tz suffix, unix:usec, and the notz->off prefix quirk
+    (ref src/rtl_433.c:687-740, src/r_util.c:94-126)."""
+    import json
+    import re
+    vec = "{36}9c80d7f2d {36}9c80d7f2d {36}9c80d7f2d"
+
+    def ref(meta):
+        out = subprocess.run([rtl433, "-R", "19", "-y", vec, "-F", "json",
+                              "-M", meta], capture_output=True, text=True,
+                             timeout=60)
+        return [json.loads(l) for l in out.stdout.splitlines()
+                if l.startswith("{")]
+
+    def ours(meta):
+        out = subprocess.run(
+            ["python", "-m", "rtl_433_tpu.cli", "-R", "19", "-y", vec,
+             "-F", "json", "-M", meta],
+            capture_output=True, text=True, timeout=120,
+            cwd="/root/repo", env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        return [json.loads(l) for l in out.stdout.splitlines()
+                if l.startswith("{")]
+
+    for meta in ("time:rel", "time:notz", "time:utc:tz", "time:unix:usec"):
+        r, o = ref(meta), ours(meta)
+        assert len(r) == len(o) > 0, meta
+        for re_, oe in zip(r, o):
+            rt, ot = re_.pop("time", None), oe.pop("time", None)
+            assert re_ == oe, meta
+            if meta == "time:rel":
+                assert rt == ot == "@0.000000s"
+            elif meta == "time:notz":
+                assert rt is None and ot is None  # "no" prefix wins
+            elif meta == "time:utc:tz":
+                # same shape: ISO date + Z / offset suffix
+                pat = r"^\d{4}-\d\d-\d\d \d\d:\d\d:\d\d(Z|[+-]\d{4})$"
+                assert re.match(pat, rt) and re.match(pat, ot), (rt, ot)
+            else:
+                assert re.match(r"^\d+\.\d{6}$", rt) and \
+                    re.match(r"^\d+\.\d{6}$", ot), (rt, ot)
