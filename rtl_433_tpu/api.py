@@ -68,6 +68,7 @@ class RtlTpu:
                  min_snr_db: float = 9.0,
                  squelch: bool = False,
                  report_noise: int = 0,
+                 auto_level: int = 0,
                  verbosity: int = 0):
         self.verbosity = verbosity
         self.analyze = analyze
@@ -108,6 +109,8 @@ class RtlTpu:
         self.min_snr_db = min_snr_db
         self.squelch = squelch
         self.report_noise = int(report_noise)
+        self.auto_level = int(auto_level)
+        self.min_level_auto = min_level_db
         self.noise_level = 0.0
         self.total_frames_squelch = 0
         self._last_noise_report = 0
@@ -126,6 +129,22 @@ class RtlTpu:
         self._state = None
         self._params = None
         self._jit = None
+
+    def _relevel(self):
+        """Re-jit the detector with the autolevel-adjusted minimum while
+        keeping the carried detector state (pulse_detect_set_levels
+        equivalent, ref src/pulse_detect.c:86-105; level constants are
+        compile-time so a level change recompiles — rare by construction,
+        the trigger needs a >1 dB noise-floor move)."""
+        if self._params is None:
+            return
+        import functools
+        import jax
+        self._params = self._params._replace(
+            min_high_level=self.min_level_auto)
+        self._jit = jax.jit(
+            functools.partial(process_block, self._params),
+            static_argnames=("flush",), donate_argnums=(0,))
 
     @property
     def fsk_minmax(self) -> bool:
@@ -151,7 +170,7 @@ class RtlTpu:
                 enable_fm=enable_fm,
                 fixed_high_level=(-abs(self.fixed_level_db)
                                   if self.fixed_level_db else 0.0),
-                min_high_level=self.min_level_db,
+                min_high_level=self.min_level_auto,
                 high_low_ratio=self.min_snr_db,
                 unroll=16 if on_tpu else 1,
                 # fused Pallas front-end + all-idle fast path on hardware;
@@ -203,7 +222,8 @@ class RtlTpu:
         # replay, dumpers, the grabber or the analyzer)
         must_process = (self._current_file or self.dumpers
                         or self.samp_grab is not None or self.analyze)
-        if (self.squelch or self.report_noise) and not must_process:
+        if (self.squelch or self.report_noise or self.auto_level) \
+                and not must_process:
             avg = self._block_avg_db(iq)
             noise_only = self._track_noise(avg)
             if self.squelch and noise_only:
@@ -213,7 +233,8 @@ class RtlTpu:
                 return 0
         self._state, avg_db = self._jit(self._state, jnp.asarray(iq),
                                         n_valid, flush=flush)
-        if (self.squelch or self.report_noise) and must_process:
+        if (self.squelch or self.report_noise or self.auto_level) \
+                and must_process:
             self._track_noise(float(np.asarray(avg_db)[0]))
         pkgs, self._state = take_packages(self._state)
         events = 0
@@ -245,10 +266,23 @@ class RtlTpu:
         Returns True when the frame is noise-only.
         """
         if self.noise_level == 0.0:
-            self.noise_level = self.min_level_db - 3.0
+            self.noise_level = self.min_level_auto - 3.0
         noise_only = avg_db < self.noise_level + 3.0
         if noise_only:
             self.noise_level = (self.noise_level * 7 + avg_db) / 8
+            # -Y autolevel: track the noise floor down/up with min level
+            # (ref src/r_flow.c:179-186)
+            if (self.auto_level > 0
+                    and self.noise_level < self.min_level_db - 3.0
+                    and abs(self.min_level_auto - self.noise_level - 3.0)
+                    > 1.0):
+                self.min_level_auto = self.noise_level + 3.0
+                import sys
+                print(f"Auto Level: Estimated noise level is "
+                      f"{self.noise_level:.1f} dB, adjusting minimum "
+                      f"detection level to {self.min_level_auto:.1f} dB",
+                      file=sys.stderr)
+                self._relevel()
         else:
             self.noise_level = (self.noise_level * 31 + avg_db) / 32
         if self.report_noise:

@@ -156,6 +156,10 @@ def main(argv=None):
                     y_opts["min_snr_db"] = float(part[7:])
                 elif part == "squelch":
                     y_opts["squelch"] = True
+                elif part.startswith("autolevel"):
+                    # autolevel or autolevel=N (ref src/rtl_433.c:944-946)
+                    y_opts["auto_level"] = (int(part[10:])
+                                            if part[9:10] == "=" else 1)
         elif a == "-C":
             convert = val()
         elif a == "-M":

@@ -67,9 +67,14 @@ def _pwm(bits, dev):
         for b in _row_str(bits, row):
             train.append((s if b == "1" else l, gap))
         if row < bits.num_rows - 1:
-            if row_gap is None:
+            if row_gap is not None:
+                train[-1] = (train[-1][0], row_gap)
+            elif y > 0:
+                # no gap window: a sync pulse separates rows
+                # (bitbuffer add_sync starts a new row)
+                train.append((y, gap))
+            else:
                 return None
-            train[-1] = (train[-1][0], row_gap)
     if not train:
         return None
     train[-1] = (train[-1][0], end_gap)
@@ -92,11 +97,15 @@ def _pcm(bits, dev):
         # trim them; decoders search for their sync anywhere in the row
         # and BOTH pipelines replay the same IQ
         rowbits = rowbits.lstrip("0")
-        if not rowbits:
-            return None
         i = 0
         n = len(rowbits)
         rt = []
+        if not rowbits:
+            # all-zero row: a sub-short spurious pulse (emits no 1s) whose
+            # following gap zero-fills the row up to the max_zeros cap
+            if bits.num_rows == 1:
+                return None
+            rt.append((s * 0.45, 0.0))
         if s == l:  # NRZ
             while i < n:
                 j = i
@@ -133,9 +142,17 @@ def _piwm_dc(bits, dev):
     alternating pulse/gap (slicers.py slicer_piwm_dc)."""
     s, l, r, t = (dev.short_width, dev.long_width, dev.reset_limit,
                   dev.tolerance)
-    if t <= 0 or bits.num_rows != 1:
+    if t <= 0:
         return None
-    widths = [s if b == "1" else l for b in _row_str(bits, 0)]
+    # a symbol that is neither short nor long but < reset starts a new row
+    brk = (l + t + r) / 2
+    if bits.num_rows > 1 and not (l + t < brk < r):
+        return None
+    widths = []
+    for row in range(bits.num_rows):
+        if row:
+            widths += [brk]
+        widths += [s if b == "1" else l for b in _row_str(bits, row)]
     widths += [r * 1.5 + 1000 + t]
     if len(widths) % 2:
         widths += [r * 1.5 + 1000 + t]
@@ -193,38 +210,53 @@ def _dmc(bits, dev):
 def _mc_zerobit(bits, dev):
     """Manchester, first bit hardcoded 0: bit boundaries every 2*short;
     a 1 reads as accumulated high > 1.5*short, a 0 as accumulated low."""
-    s, r = dev.short_width, dev.reset_limit
+    s, r, t = dev.short_width, dev.reset_limit, dev.tolerance
     end_gap = r * 1.5 + 1000
-    if bits.num_rows != 1:
+    # every slicer row starts with a hardcoded 0 bit — rows beginning
+    # with 1 gain a prepended 0 (decoders search their sync anywhere and
+    # BOTH pipelines replay the same IQ)
+    rows = [_row_str(bits, i) for i in range(bits.num_rows)]
+    rows = [("0" + rb) if rb and rb[0] != "0" else rb for rb in rows]
+    if any(not rb for rb in rows):
         return None
-    rowbits = _row_str(bits, 0)
-    if not rowbits or rowbits[0] != "0":
-        return None  # the slicer hardcodes a leading zero
-    # G.E. Thomas halves (1 -> high,low ; 0 -> low,high), leading low
-    # half-bits stripped (silence); validated by round-trip through the
-    # forward slicer.
-    levels = []
-    for b in rowbits:
-        levels += [1, 0] if b == "1" else [0, 1]
-    i0 = 0
-    while i0 < len(levels) and levels[i0] == 0:
-        i0 += 1
-    levels = levels[i0:]
-    if not levels:
-        return None
+    if len(rows) > 1:
+        # a gap in (2s+tol, reset] is out of tolerance and starts a new
+        # row (slicer_manchester_zerobit); needs tolerance > 0
+        brk = (2 * s + t + r) / 2
+        if t <= 0 or not (2 * s + t < brk <= r):
+            return None
     train = []
-    i = 0
-    n = len(levels)
-    while i < n:
-        j = i
-        while j < n and levels[j] == 1:
-            j += 1
-        k = j
-        while k < n and levels[k] == 0:
-            k += 1
-        train.append(((j - i) * s, (k - j) * s))
-        i = k
-    train[-1] = (train[-1][0], train[-1][1] + end_gap)
+    for idx, rowbits in enumerate(rows):
+        # G.E. Thomas halves (1 -> high,low ; 0 -> low,high), leading low
+        # half-bits stripped (silence); validated by round-trip through
+        # the forward slicer.
+        levels = []
+        for b in rowbits:
+            levels += [1, 0] if b == "1" else [0, 1]
+        i0 = 0
+        while i0 < len(levels) and levels[i0] == 0:
+            i0 += 1
+        levels = levels[i0:]
+        if not levels:
+            return None
+        rt = []
+        i = 0
+        n = len(levels)
+        while i < n:
+            j = i
+            while j < n and levels[j] == 1:
+                j += 1
+            k = j
+            while k < n and levels[k] == 0:
+                k += 1
+            rt.append(((j - i) * s, (k - j) * s))
+            i = k
+        if idx < len(rows) - 1:
+            # replace the trailing low halves with the row-break gap
+            rt[-1] = (rt[-1][0], brk)
+        else:
+            rt[-1] = (rt[-1][0], rt[-1][1] + end_gap)
+        train += rt
     return train
 
 
@@ -241,6 +273,8 @@ MODULATORS = {
     "OOK_PULSE_PCM": _pcm,
     "OOK_PULSE_RZ": _pcm,
     "FSK_PULSE_PCM": _pcm,
+    "OOK_PULSE_PIWM_DC": _piwm_dc,
+    "OOK_PULSE_NRZS": _nrzs,
     "OOK_PULSE_DMC": _dmc,
     "OOK_PULSE_MANCHESTER_ZEROBIT": _mc_zerobit,
     "FSK_PULSE_MANCHESTER_ZEROBIT": _mc_zerobit,

@@ -27,7 +27,7 @@ from synth import synth_ook, synth_fsk
 
 BIN = "/tmp/rtlbuild/src/rtl_433"
 
-MIN_PARITY_PROTOCOLS = 270
+MIN_PARITY_PROTOCOLS = 290
 
 
 def _normalize(ev):

@@ -279,3 +279,22 @@ def test_noise_tracking_and_squelch():
     rx.push_block(noise)
     assert rx.total_frames_squelch == 1
     assert rx.noise_level != 0.0
+
+
+def test_autolevel_adjusts_min_level(capsys):
+    """-Y autolevel: quiet noise frames pull min_level_auto down to
+    noise + 3 dB and re-arm the detector (ref src/r_flow.c:179-186)."""
+    import numpy as np
+    from rtl_433_tpu.api import RtlTpu
+    rx = RtlTpu(register_all=False, auto_level=1)
+    rx.registry.register(19)
+    # very quiet noise: avg level well below the default -12.1 dB floor
+    noise = np.random.default_rng(1).integers(
+        127, 130, size=(16384, 2), dtype=np.uint8)
+    for _ in range(4):
+        rx.push_block(noise)
+    assert rx.min_level_auto < rx.min_level_db - 3.0
+    assert abs(rx.min_level_auto - (rx.noise_level + 3.0)) < 1e-6
+    # the re-jitted params carry the new level
+    assert rx._params.min_high_level == rx.min_level_auto
+    assert "adjusting minimum detection level" in capsys.readouterr().err
