@@ -113,11 +113,16 @@ def main():
     cycles = int(os.environ.get("BENCH_CYCLES", "3"))  # measured cycles
     cap = int(os.environ.get("BENCH_PKG_CAP", "4096"))
 
+    # log_cap bounds the kept records fed to the publish scatters, whose
+    # cost is data-independent (~C*log_cap); the workload's densest
+    # channel uses ~200 records/block, overflow is asserted zero below
+    log_cap = int(os.environ.get("BENCH_LOG_CAP", "512"))
     params = DetectorParams(sample_rate=250_000, fsk_minmax=False,
                             enable_fm=True, unroll=16 if on_tpu else 1,
                             chunk=128,
                             ring=8,
                             eops=2,
+                            log_cap=log_cap,
                             pallas_frontend=on_tpu)
 
     registry = Registry()
@@ -204,12 +209,15 @@ def main():
     msps = total_samples / dt / 1e6
     ev_rate = len(events) / dt
     # sanity: the pipeline must actually be decoding (2 events per lacrosse
-    # burst, 1 per silvercrest -> ~1.8x bursts)
+    # burst, 1 per silvercrest -> ~1.8x bursts), and log_cap must be
+    # lossless on this workload
+    n_ovf = int(np.asarray(state["n_ring_ovf"]).sum())
     expect = per_block_bursts * reps * 1.5
-    ok = len(events) >= expect * 0.8
+    ok = len(events) >= expect * 0.8 and n_ovf == 0
     print(f"{dt:.2f}s for {reps} blocks: {msps:.1f} MS/s, "
           f"{n_pkgs} pkgs, {len(events)} events ({ev_rate:.0f}/s), "
-          f"decode_ok={'yes' if ok else 'LOW'}", file=sys.stderr)
+          f"ovf={n_ovf}, decode_ok={'yes' if ok else 'LOW'}",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "e2e_throughput_signal_dense",

@@ -187,6 +187,59 @@ def _nrzs(bits, dev):
     return train
 
 
+def _osv1(bits, dev):
+    """Oregon Scientific v1 (slicers.py slicer_osv1): 12-pulse preamble
+    (12th gap > 1.5 halfbits), a long sync pulse/gap pair (P > G so no
+    phantom first bit), then Manchester halves at the halfbit width with
+    odd half-slots carrying the bits."""
+    s, r = dev.short_width, dev.reset_limit
+    if bits.num_rows != 1:
+        return None
+    rowbits = _row_str(bits, 0).lstrip("0")
+    if not rowbits:
+        return None
+    train = [(s, s)] * 11 + [(s, 2 * s)] + [(4 * s, 3.4 * s)]
+    levels = []
+    for b in rowbits:
+        levels += [1, 0] if b == "1" else [0, 1]
+    rt = []
+    i = 0
+    n = len(levels)
+    while i < n:
+        j = i
+        while j < n and levels[j] == 1:
+            j += 1
+        k = j
+        while k < n and levels[k] == 0:
+            k += 1
+        rt.append(((j - i) * s, (k - j) * s))
+        i = k
+    rt[-1] = (rt[-1][0], rt[-1][1] + r * 1.5 + 1000)
+    return train + rt
+
+
+def _rzi(bits, dev):
+    """RZI (slicers.py slicer_rzi): a pulse of base+k*long emits k ones
+    (no base on the row's first pulse); each sub-reset gap emits one 0."""
+    s, l, r = dev.short_width, dev.long_width, dev.reset_limit
+    if bits.num_rows != 1:
+        return None
+    rowbits = _row_str(bits, 0).lstrip("0")
+    if not rowbits:
+        return None
+    base = l - s
+    segs = rowbits.split("0")
+    train = []
+    for i, seg in enumerate(segs):
+        k = len(seg)
+        w = k * l + (0 if i == 0 else base)
+        if w <= 0:
+            w = base
+        g = max(s, 50.0) if i < len(segs) - 1 else r * 1.5 + 1000
+        train.append((w, g))
+    return train
+
+
 def _dmc(bits, dev):
     s, l, r = dev.short_width, dev.long_width, dev.reset_limit
     t = dev.tolerance
@@ -275,6 +328,8 @@ MODULATORS = {
     "FSK_PULSE_PCM": _pcm,
     "OOK_PULSE_PIWM_DC": _piwm_dc,
     "OOK_PULSE_NRZS": _nrzs,
+    "OOK_PULSE_PWM_OSV1": _osv1,
+    "OOK_PULSE_RZI": _rzi,
     "OOK_PULSE_DMC": _dmc,
     "OOK_PULSE_MANCHESTER_ZEROBIT": _mc_zerobit,
     "FSK_PULSE_MANCHESTER_ZEROBIT": _mc_zerobit,
