@@ -111,7 +111,9 @@ def main():
     n = int(os.environ.get("BENCH_BLOCK", "131072" if on_tpu else "32768"))
     rotations = int(os.environ.get("BENCH_ROTATIONS", "4"))
     cycles = int(os.environ.get("BENCH_CYCLES", "3"))  # measured cycles
-    cap = int(os.environ.get("BENCH_PKG_CAP", "4096"))
+    # ~256 packages/block on this workload; 3x margin, drops are
+    # asserted zero below (the transfer scales with this cap)
+    cap = int(os.environ.get("BENCH_PKG_CAP", "768"))
 
     # log_cap bounds the kept records fed to the publish scatters, whose
     # cost is data-independent (~C*log_cap); the workload's densest
@@ -212,11 +214,12 @@ def main():
     # burst, 1 per silvercrest -> ~1.8x bursts), and log_cap must be
     # lossless on this workload
     n_ovf = int(np.asarray(state["n_ring_ovf"]).sum())
+    n_drop = int(np.asarray(state["n_pkg_drop"]).sum())
     expect = per_block_bursts * reps * 1.5
-    ok = len(events) >= expect * 0.8 and n_ovf == 0
+    ok = len(events) >= expect * 0.8 and n_ovf == 0 and n_drop == 0
     print(f"{dt:.2f}s for {reps} blocks: {msps:.1f} MS/s, "
           f"{n_pkgs} pkgs, {len(events)} events ({ev_rate:.0f}/s), "
-          f"ovf={n_ovf}, decode_ok={'yes' if ok else 'LOW'}",
+          f"ovf={n_ovf}, drop={n_drop}, decode_ok={'yes' if ok else 'LOW'}",
           file=sys.stderr)
 
     print(json.dumps({
