@@ -33,6 +33,58 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # rtl_433 -r single-core on the equivalent signal-dense stream (see header)
 BASELINE_MSPS = 47.5
 
+_METRIC = "e2e_throughput_signal_dense"
+
+
+def _fail_soft(err):
+    """Emit a parseable JSON line and exit 0 — an environment outage must
+    never erase the round's evidence with a stack trace (VERDICT r2 weak #1)."""
+    print(json.dumps({"metric": _METRIC, "value": None,
+                      "unit": "MS/s/chip", "error": err}), flush=True)
+    os._exit(0)
+
+
+def _probe_backend(timeout):
+    """Prove the backend can run + sync a computation before committing to
+    the full bench. A hung TPU tunnel blocks forever inside jax, so the
+    probe runs in a daemon thread and the main thread enforces the timeout."""
+    import threading
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+            result["backend"] = jax.default_backend()
+            x = jnp.ones((128, 128), jnp.float32)
+            np.asarray(x @ x)  # np.asarray is the only reliable sync here
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001 - convert to evidence
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout)
+    if not result.get("ok"):
+        _fail_soft(result.get(
+            "error", f"backend probe timed out after {timeout:.0f}s "
+                     f"(backend={result.get('backend', 'uninitialized')})"))
+    print(f"backend probe ok: {result['backend']}", file=sys.stderr)
+
+
+def _arm_watchdog(deadline):
+    """Fail soft if the whole bench overruns (e.g. tunnel dies mid-run)."""
+    import threading
+
+    def fire():
+        _fail_soft(f"bench exceeded {deadline:.0f}s deadline")
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def _lacrosse_burst(id_, t_bcd, hum, seed):
     """Valid LaCrosse TX35 FSK frame (decodes as TX35 + TX29)."""
@@ -94,6 +146,8 @@ def build_blocks(channels, n, rotations, active_every=4):
 
 
 def main():
+    _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", "600")))
+    watchdog = _arm_watchdog(float(os.environ.get("BENCH_DEADLINE", "3300")))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -222,8 +276,9 @@ def main():
           f"ovf={n_ovf}, drop={n_drop}, decode_ok={'yes' if ok else 'LOW'}",
           file=sys.stderr)
 
+    watchdog.cancel()
     print(json.dumps({
-        "metric": "e2e_throughput_signal_dense",
+        "metric": _METRIC,
         "value": round(msps, 1),
         "unit": "MS/s/chip",
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
@@ -231,4 +286,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - convert to evidence
+        import traceback
+        traceback.print_exc()
+        _fail_soft(f"{type(e).__name__}: {e}")

@@ -16,7 +16,25 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 - ``bits``     — 2-D bit buffers and bit/CRC/LFSR utilities.
 - ``decoders`` — protocol decoder bank + registry (the `-R <n>` contract).
 - ``output``   — data model (events) and output sinks.
-- ``parallel`` — mesh sharding, halo exchange, multi-host scale-out.
+- ``parallel`` — mesh sharding and multi-host scale-out.
 """
 
+import os as _os
+
 __version__ = "0.1.0"
+
+
+def _honor_platform_env():
+    """The host sitecustomize may force an accelerator platform via
+    jax.config, overriding the JAX_PLATFORMS env var.  Honor an explicit
+    cpu request while backends are still uninitialized, so subprocesses
+    (CLI, tests) never hang on an unavailable accelerator tunnel."""
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
+_honor_platform_env()

@@ -3,19 +3,43 @@
 Mirrors the rtl_433 flags where meaningful for the TPU framework
 (ref src/rtl_433.c:103-167 usage, :399-1002 parser):
 
-  -r <file>      replay a sample file (cu8/cs8/cs16/cf32/ook; rate/freq
+  Input
+  -r <file>      replay a sample file (cu8/cs8/cs16/cf32/ook/sigmf; rate/freq
                  parsed from the name, "cu8:250k:path" prefixes override)
+  -d rtl_tcp[:host[:port]]   live IQ from an rtl_tcp server
   -y <code>      decode test data ({n}hex rows or RfRaw strings)
-  -R [-]<n>      enable only / disable protocol n (0 = disable all)
-  -X <spec>      add a flex general-purpose decoder
-  -F <fmt>       add output: json|jsons|kv|csv|log|null (default kv-ish log)
-  -f <freq>      center frequency (metric suffixes ok)
+  -n <n>         stop after n samples (metric suffixes ok)
+  -f <freq>      center frequency; repeat for hop list (metric suffixes ok)
+  -H <secs>      hop interval for multiple -f frequencies
   -s <rate>      sample rate
+
+  Decoding
+  -R [-]<n>[:arg]  enable only / disable protocol n (0 = disable all)
+  -X <spec>      add a flex general-purpose decoder (same grammar as rtl_433)
   -Y <mode>      FSK detector: auto|classic|minmax[,ampest|magest]
-  -C <mode>      unit conversion: native|si|customary
-  -M <meta>      time|protocol|level
+                 [,level=<dB>][,minlevel=<dB>][,minsnr=<dB>][,squelch]
+                 [,autolevel[=N]]
   -A             pulse analyzer hints for detected packages
-  -v             increase verbosity
+  -a             (deprecated in the reference; accepted, no-op)
+
+  Output
+  -F <fmt>       add an output, repeatable:
+                 json | jsons | kv | log | csv | null
+                 mqtt[s]:host[:port][,user=,pass=,retain=,qos=,base=,
+                     events=,devices=,states=,availability=,tls_ca_cert=,
+                     tls_cert=,tls_key=,tls_insecure]
+                 influx[:url,token=...] | syslog:host[:port]
+                 trigger:<file> | http[:host[:port]] | rtltcp[:host[:port]]
+  -M <meta>      time[:rel|unix|iso|usec|tz|utc|local] | protocol | level
+                 | noise[:secs] | stats[:level] | bits | newmodel | oldmodel
+  -C <mode>      unit conversion: native|si|customary
+  -K <tag>       data tag: FILE|PATH|<str>|gpsd[:...]|tcp:host:port
+  -w/-W <file>   write raw IQ/samples to file ('-W' overwrites)
+  -S <mode>      signal grabber: all|unknown|known
+  -E <mode>      hop/quit after outputs: hop|quit
+  -T <secs>      exit after duration
+  -D <mode>      watchdog: quit|restart|pause|manual
+  -v             increase verbosity (repeatable)
 
 Exit codes follow the reference: 0 ok, 1 = -y decoded nothing
 (ref src/rtl_433.c:1661).
@@ -165,7 +189,9 @@ def main(argv=None):
         elif a == "-M":
             m = val()
             meta.add(m.split(":")[0])
-            meta_opts[m.split(":")[0]] = m.split(":")[1:]
+            # repeated -M for the same key accumulates, like the reference
+            # applying each invocation in turn (ref src/rtl_433.c:714-800)
+            meta_opts.setdefault(m.split(":")[0], []).extend(m.split(":")[1:])
         elif a == "-A":
             analyze = True
         elif a.startswith("-v"):

@@ -24,11 +24,14 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO):
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError):
+        # Always invoke make (no-op when fresh) so edits to ingest.cpp are
+        # never shadowed by a stale binary.
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR,
+                            "libtpu433_ingest.so"], check=True,
+                           capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            if not os.path.exists(_SO):
                 _lib = False
                 return _lib
         try:

@@ -117,8 +117,9 @@ class RtlTcpClient:
                     raw = self._recv_exact(nbytes)
                 except (ConnectionError, socket.timeout, OSError):
                     break
-                if not ring.push(np.frombuffer(raw, dtype=np.uint8)):
-                    self.blocks_dropped += 1
+                # drops are counted once, inside the ring (native
+                # ring_push / deque fallback); summed in the finally block
+                ring.push(np.frombuffer(raw, dtype=np.uint8))
             eof.set()
 
         t = threading.Thread(target=producer, daemon=True)

@@ -103,6 +103,9 @@ class MultiHostEngine:
         self.channels = channels_per_process * self.nproc
         self.pkg_cap_total = pkg_cap_total
         self._stream_pos = 0
+        self._base = 0
+        self._undrained = False
+        self._pending = []
 
         spec = P(("host", "ch"))
         self._spec = spec
@@ -141,9 +144,19 @@ class MultiHostEngine:
         return slice(lo, lo + self.local_channels)
 
     def push(self, local_iq: np.ndarray):
-        """Feed this process's [local_channels, N, 2] CU8 block."""
+        """Feed this process's [local_channels, N, 2] CU8 block.
+
+        As in ShardedEngine.push: undrained device packages are harvested
+        with the publishing block's base before the next block lands, so
+        absolute offsets stay correct across multiple pushes per drain.
+        """
         import jax
         from jax.sharding import PartitionSpec as P
+        if self._undrained:
+            self._harvest()
+        self._base = self._stream_pos
+        self._stream_pos += int(local_iq.shape[1])
+        self._undrained = True
         self._block_len = local_iq.shape[1]
         iq = make_global(local_iq, self.mesh,
                          P(("host", "ch"), None, None))
@@ -154,9 +167,7 @@ class MultiHostEngine:
             if hasattr(jax.experimental, "multihost_utils") else noise)
         return avg_db
 
-    def local_packages(self):
-        """This process's channels' published packages (and reset slots)."""
-        import jax
+    def _harvest(self):
         import jax.numpy as jnp
         from ..dsp.engine import packages_from_compact
         comp = self._compact(self.state)
@@ -165,7 +176,20 @@ class MultiHostEngine:
         sl = self._local_slice()
         self.state = dict(self.state,
                           out_n=jnp.zeros_like(self.state["out_n"]))
-        return [p for p in pkgs if sl.start <= p["channel"] < sl.stop]
+        for p in pkgs:
+            p["base"] = self._base
+        self._pending.extend(
+            p for p in pkgs if sl.start <= p["channel"] < sl.stop)
+        self._undrained = False
+
+    def local_packages(self):
+        """This process's channels' published packages (and reset slots).
+
+        Each package carries ``base``: the absolute stream position of the
+        block that published it."""
+        self._harvest()
+        pkgs, self._pending = self._pending, []
+        return pkgs
 
     def local_events(self):
         """Decode this process's packages into (channel, Event) tuples."""
@@ -176,7 +200,7 @@ class MultiHostEngine:
             pd = PulseData(
                 pulse=pkg["pulse"].tolist(), gap=pkg["gap"].tolist(),
                 sample_rate=self.params.sample_rate,
-                offset=self._stream_pos + pkg["start"],
+                offset=pkg["base"] + pkg["start"],
                 ook_low_estimate=pkg["ook_low_estimate"],
                 ook_high_estimate=pkg["ook_high_estimate"],
                 fsk_f1_est=pkg["fsk_f1_est"], fsk_f2_est=pkg["fsk_f2_est"])
@@ -189,5 +213,4 @@ class MultiHostEngine:
                 self.registry.run_fsk_demods(pd, cb)
             else:
                 self.registry.run_ook_demods(pd, cb)
-        self._stream_pos += getattr(self, "_block_len", 0)
         return out

@@ -146,13 +146,28 @@ class ShardedEngine:
         self.pkg_cap_total = pkg_cap_total
         self.n_pkg_dropped = 0
         self._stream_pos = 0
+        self._base = 0
+        self._undrained = False
+        self._pending = []
         self._compact = jax.jit(
             functools.partial(compact_packages, cap=pkg_cap_total))
 
     def push(self, iq, n_valid=None, flush: bool = False):
-        """Feed one [C, N, 2] CU8 block; returns per-channel block dB."""
+        """Feed one [C, N, 2] CU8 block; returns per-channel block dB.
+
+        Package ``start`` offsets published by the device are relative to
+        the block that published them, so any packages still sitting in
+        device slots are harvested (with this block's base) BEFORE the next
+        block is pushed — callers may push several blocks between drains
+        without corrupting absolute offsets.
+        """
         if n_valid is None:
             n_valid = iq.shape[1]
+        if self._undrained:
+            self._harvest()
+        self._base = self._stream_pos
+        self._stream_pos += int(n_valid)
+        self._undrained = True
         self._block_len = iq.shape[1]
         iq = shard_block(jnp.asarray(iq), self.mesh)
         step = self._flush_step if flush else self._step
@@ -166,14 +181,27 @@ class ShardedEngine:
     # -> batched slice/decode on the host -> per-channel-attributed events
     # (the TPU-scale analogue of ref src/r_flow.c:241-340 per-package loop).
 
-    def take_packages(self):
-        """Compact + fetch all published packages (resets device slots)."""
+    def _harvest(self):
+        """Fetch device packages, stamping the publishing block's base."""
         comp = self._compact(self.state)
         pkgs, count = packages_from_compact(comp)
         if count > len(pkgs):
             self.n_pkg_dropped += count - len(pkgs)
         self.state = dict(self.state,
                           out_n=jnp.zeros_like(self.state["out_n"]))
+        for pkg in pkgs:
+            pkg["base"] = self._base
+        self._pending.extend(pkgs)
+        self._undrained = False
+
+    def take_packages(self):
+        """Compact + fetch all published packages (resets device slots).
+
+        Each returned package dict carries ``base``: the absolute stream
+        position of the block that published it (``base + start`` is the
+        absolute sample offset of the package start)."""
+        self._harvest()
+        pkgs, self._pending = self._pending, []
         return pkgs
 
     def drain_events(self, block_len: Optional[int] = None):
@@ -186,14 +214,12 @@ class ShardedEngine:
         from ..pulse.data import PulseData
         if self.registry is None:
             raise ValueError("ShardedEngine needs registry= for events")
-        if block_len is None:
-            block_len = getattr(self, "_block_len", 0)
         out = []
         for pkg in self.take_packages():
             pd = PulseData(
                 pulse=pkg["pulse"].tolist(), gap=pkg["gap"].tolist(),
                 sample_rate=self.params.sample_rate,
-                offset=self._stream_pos + pkg["start"],
+                offset=pkg["base"] + pkg["start"],
                 ook_low_estimate=pkg["ook_low_estimate"],
                 ook_high_estimate=pkg["ook_high_estimate"],
                 fsk_f1_est=pkg["fsk_f1_est"], fsk_f2_est=pkg["fsk_f2_est"])
@@ -206,5 +232,4 @@ class ShardedEngine:
                 self.registry.run_fsk_demods(pd, cb)
             else:
                 self.registry.run_ook_demods(pd, cb)
-        self._stream_pos += block_len
         return out

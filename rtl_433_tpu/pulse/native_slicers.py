@@ -73,12 +73,14 @@ def _load():
         if os.environ.get("TPU433_NO_NATIVE"):
             _lib = False
             return _lib
-        if not os.path.exists(_SO):
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR,
-                                "libtpu433_slicers.so"],
-                               check=True, capture_output=True, timeout=120)
-            except (OSError, subprocess.SubprocessError):
+        # Always invoke make: it is a no-op when the .so is fresh, and it
+        # guarantees a stale/foreign binary never shadows edited sources.
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR,
+                            "libtpu433_slicers.so"],
+                           check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            if not os.path.exists(_SO):
                 _lib = False
                 return _lib
         try:
