@@ -641,7 +641,14 @@ def _fsk_minmax(r, fm, gate):
 _KEY_IDX_BITS = 12      # idx <= PD_MAX_PULSES < 2^12
 _KEY_FSK_SHIFT = 1 << 29
 _KEY_INVALID = 1 << 30
-_DEDUP_WINDOW = 12      # FSK rewind recommits land within a few records
+# Dedup window AFTER validity compaction: between a record and its
+# FSK-rewind recommit only other *commits* can intervene (empty ring slots
+# are compacted away), and the rewind history is 4 deep
+# (ref src/pulse_detect_fsk.c:81-89 pops one of the last 4 pairs), so the
+# same key can recur at distance <= 4. Window 8 = 2x margin. The window
+# must NOT be applied to the raw ring log: a recommit can land hundreds of
+# samples (many chunk boundaries = many empty slots) after the original.
+_DEDUP_WINDOW = 8
 
 
 def _max_block_samples():
@@ -659,9 +666,11 @@ def _ring_keys(r, gen0):
 
 
 def _keep_last(log_key):
-    """Keep-last dedup: a record is dead if a later record within the next
-    _DEDUP_WINDOW log slots carries the same key (recommits are emitted
-    immediately after the records they correct, so the window is small)."""
+    """Keep-last dedup on a validity-COMPACTED log: a record is dead if a
+    later record within the next _DEDUP_WINDOW slots carries the same key.
+    Callers must compact empty slots away first so that duplicate distance
+    is bounded by intervening commits (<= rewind history depth 4), not by
+    chunk-boundary padding."""
     C, S = log_key.shape
     keep = log_key < _KEY_INVALID
     for d in range(1, _DEDUP_WINDOW + 1):
@@ -683,20 +692,25 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
     mp = params.max_pulses
     gshift = 1 << _KEY_IDX_BITS
 
-    keep = _keep_last(log_key)
-    # compact kept records to [C, K]: a stable argsort on the keep flag
+    # Compact valid records to [C, K] FIRST: a stable argsort on validity
     # moves live records to the front (temporal order preserved); the
     # scatter cost below scales with the update count, and most log slots
     # are empty. Overflow beyond K is counted, not silently dropped.
+    # Dedup runs AFTER compaction: on the gap-free log an FSK-rewind
+    # recommit sits within _DEDUP_WINDOW of the record it replaces, whereas
+    # in the raw log it can be arbitrarily far away (each crossed chunk
+    # boundary inserts up to `ring` empty slots).
+    valid = log_key < _KEY_INVALID
     K = min(params.log_cap, log_key.shape[1])
-    order = jnp.argsort(jnp.where(keep, 0, 1).astype(jnp.int8), axis=1,
+    order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int8), axis=1,
                         stable=True)[:, :K]
-    kept_n = jnp.sum(keep, axis=1).astype(jnp.int32)
-    r["n_ring_ovf"] = r["n_ring_ovf"] + jnp.maximum(kept_n - K, 0)
+    valid_n = jnp.sum(valid, axis=1).astype(jnp.int32)
+    r["n_ring_ovf"] = r["n_ring_ovf"] + jnp.maximum(valid_n - K, 0)
     log_key = jnp.take_along_axis(log_key, order, axis=1)
     log_p = jnp.take_along_axis(log_p, order, axis=1)
     log_g = jnp.take_along_axis(log_g, order, axis=1)
-    keep = lax.broadcasted_iota(jnp.int32, (C, K), 1) < kept_n[:, None]
+    keep = (lax.broadcasted_iota(jnp.int32, (C, K), 1) < valid_n[:, None]) \
+        & _keep_last(log_key)
     S = K
 
     rec_fsk = (log_key // _KEY_FSK_SHIFT).astype(jnp.int32)

@@ -163,6 +163,51 @@ def test_empty_signal_no_packages():
     assert run_engine(iq, params) == []
 
 
+def _rewind_sig():
+    """FSK frame with a spurious 32us (8-sample) mark early in a 2000us
+    space: the classic tracker commits the pair, then rewinds
+    (ref src/pulse_detect_fsk.c:81-89) and re-commits the SAME record index
+    ~500 samples (= 4 chunk boundaries at chunk=128) later with the merged
+    558-sample gap. Regression for the block-log dedup: duplicates must be
+    resolved after validity compaction — a raw-log lookahead misses
+    recommits that cross chunk boundaries, leaving two records scattering
+    to one slot under a unique_indices promise (undefined on TPU)."""
+    segs = []
+    for _ in range(10):
+        segs += [(200, True), (200, False)]
+    segs += [(200, True), (200, False), (32, True), (2000, False)]
+    for _ in range(10):
+        segs += [(200, True), (200, False)]
+    return synth_fsk(segs, rate=250_000, lead_in_us=16_000, tail_us=120_000,
+                     seed=11)
+
+
+def test_fsk_rewind_recommit_across_chunks():
+    iq = _rewind_sig()
+    params = DetectorParams(fsk_minmax=False)
+    e, o = run_engine(iq, params), run_oracle(iq, params)
+    assert any(p["type"] == 2 for p in e), "no FSK package detected"
+    # the recommitted (merged) gap must be published, not the stale value
+    assert any(558 in p["gap"].tolist() for p in e), \
+        "rewound gap not re-committed"
+    assert_match(e, o)
+
+
+def test_fsk_rewind_recommit_across_blocks():
+    """Split so the rewind's recommit lands in a different BLOCK than the
+    original commit: the stale record publishes via the carry prefill and
+    the recommit must overwrite it through the publish scatter."""
+    iq = _rewind_sig()
+    params = DetectorParams(fsk_minmax=False)
+    whole = run_engine(iq, params)
+    for blk in (4352, 4608, 6144):  # boundaries inside the 2000us gap
+        split = run_engine(iq, params, block_len=blk)
+        assert len(split) == len(whole)
+        for a, b in zip(split, whole):
+            assert a["pulse"].tolist() == b["pulse"].tolist()
+            assert a["gap"].tolist() == b["gap"].tolist()
+
+
 def test_wide_drain_interval_invariance():
     """chunk=512/ring=64/eops=4 (the TPU drain tuning) must produce
     bit-identical packages to the default chunk=128 configuration."""
