@@ -12,6 +12,8 @@ Mirrors the rtl_433 flags where meaningful for the TPU framework
   -f <freq>      center frequency; repeat for hop list (metric suffixes ok)
   -H <secs>      hop interval for multiple -f frequencies
   -s <rate>      sample rate
+  -c <file>      read options from a config file (long keywords, repeatable;
+                 rtl_433.conf is auto-loaded from CWD/XDG/etc paths)
 
   Decoding
   -R [-]<n>[:arg]  enable only / disable protocol n (0 = disable all)
@@ -66,9 +68,9 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     in_files = []
     test_codes = []
-    flex_specs = []
     outputs = []
-    protocols = []  # (enable, num)
+    # ordered -R/-X registration actions: ("R", num, arg) / ("X", spec, None)
+    reg_actions = []
     freq = 433_920_000.0
     rate = None
     fsk_mode = "auto"
@@ -147,16 +149,15 @@ def main(argv=None):
         elif a == "-y":
             test_codes.append(val())
         elif a == "-X":
-            flex_specs.append(val())
+            reg_actions.append(("X", val(), None))
         elif a == "-F":
             outputs.append(val())
         elif a == "-R":
             v = val()
-            neg = v.startswith("-")
             # -R <num>[:<arg>] passes a decoder argument (ref src/r_api.c
             # register_protocol arg handling, e.g. blueline "-R 176:auto")
-            num, _, parg = v.lstrip("-").partition(":")
-            protocols.append((not neg, int(num), parg or None))
+            num, _, parg = v.partition(":")
+            reg_actions.append(("R", int(num), parg or None))
         elif a == "-f":
             freq = _metric(val())
             frequencies.append(freq)
@@ -255,26 +256,31 @@ def main(argv=None):
                 report_time_tz=time_tz,
                 verbosity=verbosity,
                 **y_opts,
-                register_all=not any(num == 0 for en, num, _ in protocols
-                                     if en is False) )
+                register_all=False)
 
-    # -R handling (ref src/rtl_433.c parse: -R 0 or first positive -R
-    # disables the default registration)
-    if protocols:
-        enables = [(num, parg) for en, num, parg in protocols if en and num > 0]
-        disables = [num for en, num, _ in protocols if not en]
-        if enables or any(num == 0 for en, num, _ in protocols):
-            rx.registry.active = []
-        for num, parg in enables:
-            rx.registry.register(num, parg)
-        if not enables and not any(num == 0 for en, num, _ in protocols):
-            rx.registry.register_all()
-        for num in disables:
-            rx.registry.unregister(num)
-
+    # Ordered -R/-X replay (ref src/rtl_433.c:820-851, defaults at :1511):
+    # any -R suppresses the default registration; a negative -R first
+    # registers all defaults; -R 0 clears everything registered so far
+    # (including earlier -X flex decoders); with no -R at all, defaults
+    # register after option parsing, i.e. AFTER any -X decoders, so flex
+    # devices dispatch (and print) first.
     from .decoders.flex import flex_create_device
-    for spec in flex_specs:
-        rx.registry.add_device(flex_create_device(spec))
+    no_default = False
+    for kind, v, parg in reg_actions:
+        if kind == "X":
+            rx.registry.add_device(flex_create_device(v))
+            continue
+        if v < 0 and not no_default:
+            rx.registry.register_all()
+        no_default = True
+        if v >= 1:
+            rx.registry.register(v, parg)
+        elif v <= -1:
+            rx.registry.unregister(-v)
+        else:
+            rx.registry.active = []
+    if not no_default:
+        rx.registry.register_all()
 
     sr_filename = None
     for spec in dumper_specs:

@@ -63,38 +63,72 @@ def find_default_conf() -> Optional[str]:
     return None
 
 
-def parse_conf_text(text: str) -> List[str]:
-    """Turn conf-file text into an argv list."""
-    argv: List[str] = []
-    for line in text.splitlines():
-        # strip comments (# to end of line, unless in a quoted value)
-        out = []
-        in_quote = None
-        for ch in line:
-            if in_quote:
-                if ch == in_quote:
-                    in_quote = None
-                out.append(ch)
-            elif ch in "\"'":
-                in_quote = ch
-                out.append(ch)
-            elif ch == "#":
-                break
+def parse_conf_entries(text: str) -> List[tuple]:
+    """Tokenize conf-file text into (keyword, value) pairs.
+
+    Mirrors the reference tokenizer (ref src/confparse.c:89-166 getconf):
+    ``keyword arg`` to end of line, ``#`` comments, and brace-quoted args —
+    an arg opening with ``{`` runs (newlines included) until a ``}`` that
+    is the last non-space token on its line, so multi-line ``decoder {``
+    blocks from stock conf files parse identically.
+    """
+    entries: List[tuple] = []
+    p, n = 0, len(text)
+    while True:
+        # skip whitespace and comments between entries
+        while p < n and text[p] in " \t\r\n#":
+            if text[p] == "#":
+                while p < n and text[p] not in "\r\n":
+                    p += 1
             else:
-                out.append(ch)
-        line = "".join(out).strip()
-        if not line:
-            continue
-        parts = line.split(None, 1)
-        kw = parts[0]
-        val = parts[1].strip() if len(parts) > 1 else None
-        if val and len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
-            val = val[1:-1]
+                p += 1
+        if p >= n:
+            break
+        # keyword: run of non-whitespace
+        kw_start = p
+        while p < n and text[p] not in " \t\r\n":
+            p += 1
+        kw = text[kw_start:p]
+        while p < n and text[p] in " \t":
+            p += 1
+        # arg: brace-quoted (multi-line) or to end-of-line/comment
+        if p < n and text[p] == "{":
+            p += 1
+            arg_start = p
+            arg_end = None
+            while p < n:
+                while p < n and text[p] != "}":
+                    p += 1
+                e = p  # candidate end-quote
+                if p < n:
+                    p += 1
+                while p < n and text[p] in " \t":
+                    p += 1
+                if p >= n or text[p] in "\r\n#":
+                    arg_end = e
+                    break
+            val = text[arg_start:arg_end if arg_end is not None else n]
+        else:
+            arg_start = p
+            while p < n and text[p] not in "\r\n#":
+                p += 1
+            val = text[arg_start:p]
+            if p < n and text[p] == "#":
+                while p < n and text[p] not in "\r\n":
+                    p += 1
+        entries.append((kw, val.strip()))
+    return entries
+
+
+def parse_conf_text(text: str) -> List[str]:
+    """Turn conf-file text into an argv list (see parse_conf_entries)."""
+    argv: List[str] = []
+    for kw, val in parse_conf_entries(text):
         opt = CONF_KEYWORDS.get(kw)
         if opt is None:
             raise ValueError(f"unknown conf keyword: {kw}")
         argv.append(opt)
-        if val is not None:
+        if val:
             argv.append(val)
     return argv
 

@@ -121,6 +121,23 @@ def _parse_symbol(code):
     return word | n
 
 
+def _strtol0(s):
+    """C strtol(s, NULL, 0): 0x->hex, leading 0->octal, else decimal
+    (ref src/devices/flex.c:585 parses map keys this way, so a key like
+    ``02`` is octal — Python's int(s, 0) would reject it)."""
+    s = s.strip()
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    if s[:2].lower() == "0x":
+        v = int(s[2:], 16)
+    elif len(s) > 1 and s[0] == "0":
+        v = int(s, 8)
+    else:
+        v = int(s, 10)
+    return -v if neg else v
+
+
 def _parse_getter(arg):
     g = FlexGetter()
     rest = arg
@@ -131,7 +148,7 @@ def _parse_getter(arg):
             for part in body.split():
                 if ":" in part:
                     k, v = part.split(":", 1)
-                    g.map.append((int(k, 0), v))
+                    g.map.append((_strtol0(k), v))
             rest = rest[end + 1:].lstrip(":")
             continue
         if ":" in rest:
@@ -275,7 +292,12 @@ def _render_getters(ev_items, row_bytes, params):
         if mapped is not None:
             ev_items.append((g.name, mapped))
         else:
-            ev_items.append((g.name, int(val), "", g.format or None))
+            # data_int takes a C int: values >= 2^31 wrap negative
+            # (ref src/devices/flex.c:146 data_int(..., val))
+            ival = int(val) & 0xFFFFFFFF
+            if ival >= 1 << 31:
+                ival -= 1 << 32
+            ev_items.append((g.name, ival, "", g.format or None))
 
 
 def make_decode_fn(params: FlexParams):

@@ -247,5 +247,8 @@ def _c_format(fmt: str, val) -> str:
     spec = m.group(0)
     if spec[-1] in "diouxX":
         val = int(val)
+        if spec[-1] in "ouxX" and val < 0:
+            # C prints negative ints as unsigned 32-bit under %u/%o/%x
+            val &= 0xFFFFFFFF
     out = fmt[: m.start()] + (spec % val) + fmt[m.end():]
     return out.replace("%%", "%")

@@ -93,6 +93,28 @@ report_meta stats
         parse_conf_text("bogus_keyword 1")
 
 
+def test_conf_parse_brace_blocks():
+    """Multi-line ``decoder { ... }`` args (ref src/confparse.c:124-143):
+    the block ends at a ``}`` that is last on its line; an inner bit-width
+    brace like {8} must not terminate it."""
+    argv = parse_conf_text("""
+decoder {
+    name=X,
+    m=OOK_PWM,
+    get=@0:{8}:id,
+    bits=13,
+}
+frequency 433.92M
+""")
+    assert argv[0] == "-X"
+    fields = [f.strip() for f in argv[1].split(",") if f.strip()]
+    assert fields == ["name=X", "m=OOK_PWM", "get=@0:{8}:id", "bits=13"]
+    assert argv[2:] == ["-f", "433.92M"]
+    # single-line spec whose last field ends in a bit-width brace
+    argv = parse_conf_text("decoder n=Y,m=OOK_PPM,get=seq:@56:{8}\n")
+    assert argv == ["-X", "n=Y,m=OOK_PPM,get=seq:@56:{8}"]
+
+
 def test_cli_conf_and_stats(tmp_path):
     from synth import write_cu8
     iq = _nexus_iq()
@@ -114,16 +136,34 @@ def test_cli_conf_and_stats(tmp_path):
 
 
 def test_shipped_conf_examples_load():
-    """Every conf/ example must parse and create a working flex decoder."""
+    """Every conf/ example must parse; flex specs must create working
+    decoders and protocol selections must resolve in the registry
+    (the stock conf set, ref conf/)."""
     import glob
     import os
     from rtl_433_tpu.confparse import parse_conf_file
     from rtl_433_tpu.decoders.flex import flex_create_device
+    from rtl_433_tpu.decoders.base import Registry
+    n_slots = len(Registry().slots) - 1
     files = glob.glob(os.path.join(os.path.dirname(__file__), "..",
                                    "conf", "*.conf"))
-    assert len(files) >= 20
+    assert len(files) >= 90
+    n_flex = 0
     for path in files:
         args = parse_conf_file(path)
-        assert args and args[0] == "-X", path
-        dev = flex_create_device(args[1])
-        assert dev.decode_fn is not None, path
+        assert args, path
+        it = iter(range(len(args)))
+        i = 0
+        while i < len(args):
+            opt = args[i]
+            val = args[i + 1] if i + 1 < len(args) \
+                and not args[i + 1].startswith("-") else None
+            if opt == "-X":
+                dev = flex_create_device(val)
+                assert dev.decode_fn is not None, path
+                n_flex += 1
+            elif opt == "-R":
+                num = int(val.lstrip("-"))
+                assert 1 <= num <= n_slots, (path, num)
+            i += 2 if val is not None else 1
+    assert n_flex >= 60
