@@ -131,20 +131,19 @@ class RtlTpu:
         self._jit = None
 
     def _relevel(self):
-        """Re-jit the detector with the autolevel-adjusted minimum while
-        keeping the carried detector state (pulse_detect_set_levels
-        equivalent, ref src/pulse_detect.c:86-105; level constants are
-        compile-time so a level change recompiles — rare by construction,
-        the trigger needs a >1 dB noise-floor move)."""
-        if self._params is None:
+        """Apply the autolevel-adjusted minimum level (pulse_detect_set_levels
+        equivalent, ref src/pulse_detect.c:86-105). The level is a traced
+        field of the carried state pytree ("min_high"), so a retune is one
+        device write — no recompile, however often the noise floor drifts."""
+        if self._params is None or self._state is None:
             return
-        import functools
-        import jax
-        self._params = self._params._replace(
-            min_high_level=self.min_level_auto)
-        self._jit = jax.jit(
-            functools.partial(process_block, self._params),
-            static_argnames=("flush",), donate_argnums=(0,))
+        import jax.numpy as jnp
+        p = self._params._replace(min_high_level=self.min_level_auto)
+        self._params = p
+        self._state = dict(
+            self._state,
+            min_high=jnp.full_like(self._state["min_high"],
+                                   p.ook_min_high_level))
 
     @property
     def fsk_minmax(self) -> bool:

@@ -134,6 +134,10 @@ def detector_init(params: DetectorParams, channels: int):
         # OOK FSM
         "ook_state": i32(ST_IDLE), "plen": i32(), "max_pulse": i32(),
         "lead_in": i32(), "low_est": i32(), "high_est": i32(),
+        # minimum high-level estimate, raw units — a TRACED operand so the
+        # -Y autolevel retune (api._relevel) never recompiles the engine
+        # (pulse_detect_set_levels, ref src/pulse_detect.c:86-105)
+        "min_high": i32(params.ook_min_high_level),
         "num": i32(), "cur_pulse": i32(), "ook_f1": i32(),
         "pkg_start": i32(), "eop_spur": i32(), "gen": i32(),
         # FSK tracker
@@ -242,7 +246,7 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
     # still-pulse estimators (ref :361-365)
     new_high = r["high_est"] + _tdiv(am, OOK_EST_HIGH_RATIO) - \
         _tdiv(r["high_est"], OOK_EST_HIGH_RATIO)
-    new_high = jnp.maximum(new_high, params.ook_min_high_level)
+    new_high = jnp.maximum(new_high, r["min_high"])
     r["high_est"] = jnp.where(p_cont, new_high, r["high_est"])
     new_ook_f1 = r["ook_f1"] + _tdiv(fm, OOK_EST_HIGH_RATIO) - \
         _tdiv(r["ook_f1"], OOK_EST_HIGH_RATIO)
@@ -410,8 +414,7 @@ def _step(params: DetectorParams, fm_alp1: int, fm_blp: int, regs, xs,
     r["low_est"] = jnp.where(idle_mask, new_low, r["low_est"])
     r["high_est"] = jnp.where(
         idle_mask,
-        jnp.maximum(params.ook_high_low_ratio * new_low,
-                    params.ook_min_high_level),
+        jnp.maximum(params.ook_high_low_ratio * new_low, r["min_high"]),
         r["high_est"])
     r["lead_in"] = jnp.where(idle_mask & (r["lead_in"] <= OOK_EST_LOW_RATIO),
                              r["lead_in"] + 1, r["lead_in"])
@@ -892,7 +895,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
 
     # per-call resets (ref src/pulse_detect.c:283 and :291)
     regs = dict(state)
-    regs["high_est"] = jnp.maximum(regs["high_est"], params.ook_min_high_level)
+    regs["high_est"] = jnp.maximum(regs["high_est"], regs["min_high"])
     regs["eop_spur"] = jnp.zeros_like(regs["eop_spur"])
     # age package-start positions: previous block's starts become negative
     regs["pkg_start"] = regs["pkg_start"] - (N if n_valid is None else n_valid)
@@ -978,7 +981,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         r["low_est"] = low
         # idle high_est tracks the final low (ref src/pulse_detect.c:331)
         r["high_est"] = jnp.maximum(params.ook_high_low_ratio * low,
-                                    params.ook_min_high_level)
+                                    r["min_high"])
         # lead_in increments once per sample until it exceeds the ratio
         # (ref src/pulse_detect.c:333)
         room = jnp.maximum((OOK_EST_LOW_RATIO + 1) - r["lead_in"], 0)
@@ -1002,7 +1005,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         am_min = jnp.min(am_i32, axis=(0, 1))
         all_idle = jnp.all(carry["ook_state"] == ST_IDLE)
         low_lb = jnp.minimum(carry["low_est"], am_min) - 2
-        high_lb = min(params.ook_min_high_level, OOK_MAX_HIGH_LEVEL)
+        high_lb = jnp.minimum(carry["min_high"], OOK_MAX_HIGH_LEVEL)
         if params.ook_fixed_high_level != 0:
             thr_lb = jnp.full_like(low_lb, params.ook_fixed_high_level - 1)
         else:

@@ -68,6 +68,8 @@ VECTORS = [
     (55, " ".join(["{32}4290d7fc"] * 3), 1),                  # 606TX
     (163, " ".join(["{25}0112bc0"] * 3), 1),                  # 590TX
     (74, " ".join(["{88}edcbbea9b40df4bffcdfb1"] * 3), 1),    # 00275rm
+    # 75 lacrosse TX29/TX35: aa preamble, 2dd4 sync, type 9, BCD temp, crc8
+    (75, "{88}aaaaaaaa2dd495c61528f8", 1),
     # batch 4: fineoffset family
     (18, "{48}ff4120d72da2", 1),                              # WH2
     (78, "{496}" + "00" * 40 + "aa2dd4e50272282721c9bb" + "00" * 11, 1),

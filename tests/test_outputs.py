@@ -295,6 +295,31 @@ def test_autolevel_adjusts_min_level(capsys):
         rx.push_block(noise)
     assert rx.min_level_auto < rx.min_level_db - 3.0
     assert abs(rx.min_level_auto - (rx.noise_level + 3.0)) < 1e-6
-    # the re-jitted params carry the new level
+    # the traced state carries the new level
     assert rx._params.min_high_level == rx.min_level_auto
+    import numpy as _np
+    assert _np.asarray(rx._state["min_high"])[0] == \
+        rx._params.ook_min_high_level
     assert "adjusting minimum detection level" in capsys.readouterr().err
+
+
+def test_autolevel_does_not_recompile():
+    """A -Y autolevel retune must be a traced-state write, not a re-jit:
+    the engine's jit cache stays at one entry across level changes
+    (VERDICT r2 weak #4; ref src/pulse_detect.c:86-105 runtime set_levels)."""
+    import numpy as np
+    from rtl_433_tpu.api import RtlTpu
+    rx = RtlTpu(register_all=False)  # autolevel off: we force retunes below
+    rx.registry.register(19)
+    noise = np.random.default_rng(2).integers(
+        127, 130, size=(16384, 2), dtype=np.uint8)
+    rx.push_block(noise)
+    jit_fn = rx._jit
+    n0 = jit_fn._cache_size()
+    for lvl in (-15.0, -18.5, -21.2):  # arbitrary EWMA outputs, no 1 dB grid
+        rx.min_level_auto = lvl
+        rx._relevel()
+        rx.push_block(noise)
+        assert rx._params.min_high_level == lvl
+    assert rx._jit is jit_fn, "engine was re-jitted on retune"
+    assert jit_fn._cache_size() == n0, "level change caused a recompilation"
