@@ -135,6 +135,11 @@ class Registry:
         self._dec_cache: dict = {}
         self._dec_cache_version = -1
         self.dec_cache_max = 65536
+        # train memo: (fsk, rate, pulse bytes, gap bytes) -> slicing summary
+        # + gating/dedup dispatch plan (pure content functions; see
+        # _build_train_memo)
+        self._train_cache: dict = {}
+        self.train_cache_max = 4096
 
     def __len__(self):
         return sum(1 for d in self.slots if d is not None)
@@ -231,32 +236,14 @@ class Registry:
             self._banks[key] = bank
         return bank
 
-    def _run_fast(self, pulses, want_fsk: bool, event_cb):
-        """Native batch-sliced dispatch, same semantics as _run_host.
-
-        The decoder-call gate (decoders/gates.py) skips Python decode calls
-        that provably cannot produce an event; skipped calls are accounted
-        as abort_length. Within a package, byte-identical bitbuffers reach
-        each pure decoder only once (content dedup): the unique
-        (decoder, record) pairs are decoded, then per-emission accounting
-        and event delivery are replayed vectorized / in the reference's
-        temporal order.
-        """
+    def _bank_meta(self, bank):
+        """Per-spec gate/priority arrays (built lazily per bank)."""
         import numpy as np
         from .gates import GATES
 
-        bank = self._get_bank(want_fsk, pulses.sample_rate)
-        devs = bank.devices
-        if not devs:
-            return 0
-        pulse = np.asarray(pulses.pulse, np.int32)
-        gap = np.asarray(pulses.gap, np.int32)
-        summary, _ = bank.slice(pulse, gap)
-        if len(summary) == 0:
-            return 0
-
-        meta = bank.meta  # per-spec gate/priority arrays (built lazily)
+        meta = bank.meta
         if meta is None:
+            devs = bank.devices
             n = len(devs)
             meta = {
                 "min_rows": np.zeros(n, np.int32),
@@ -275,6 +262,23 @@ class Registry:
                     if len(g) > 2:
                         meta["max_rows"][i] = g[2]
             bank.meta = meta
+        return meta
+
+    def _build_train_memo(self, bank, meta, pulse, gap):
+        """Slice + gate + dedup one pulse train; everything below is a pure
+        function of the train content and the registry version, so a dense
+        block's repeated bursts pay it once (the train memo).
+
+        Returns {"records": {off: bytes}, "mats": {off: BitBuffer},
+        "priorities": [per-priority dispatch plan]} — the plan holds plain
+        Python ints/lists so the replay loop does no numpy scalar work.
+        """
+        import numpy as np
+
+        devs = bank.devices
+        summary, _ = bank.slice(pulse, gap)
+        if len(summary) == 0:
+            return {"records": {}, "mats": {}, "priorities": []}
 
         # summary is ordered by spec index (= active-device order within
         # this modulation side) then temporal emission order
@@ -284,73 +288,127 @@ class Registry:
                  | (summary[:, 2] > meta["max_rows"][spec_col]))
         prio_col = meta["priority"][spec_col]
 
-        if self._dec_cache_version != self._version:
-            self._dec_cache = {}
-            self._dec_cache_version = self._version
-        dec_cache = self._dec_cache
-        mat_cache: dict = {}
-        p_events = 0
-        priorities = np.unique(meta["priority"])
-        for priority in priorities.tolist():
-            if p_events:
-                break  # higher priorities run only while no event yet
-            in_p = prio_col == priority
+        records = {}
+        for off in np.unique(summary[:, 1]).tolist():
+            records[off] = bank.record_bytes(off)
 
-            # vectorized accounting of gated (skipped) calls
+        plans = []
+        for priority in np.unique(meta["priority"]).tolist():
+            in_p = prio_col == priority
             g_rows = in_p & gated
+            gate_counts = []
             if g_rows.any():
                 cnt = np.bincount(spec_col[g_rows], minlength=len(devs))
-                for i in np.flatnonzero(cnt).tolist():
-                    dev = devs[i]
-                    c = int(cnt[i])
-                    dev.decode_events += c
-                    dev.decode_fails["abort_length"] = \
-                        dev.decode_fails.get("abort_length", 0) + c
-
+                gate_counts = [(i, int(cnt[i]))
+                               for i in np.flatnonzero(cnt).tolist()]
             live = np.flatnonzero(in_p & ~gated)
-            if live.size == 0:
-                continue
-            # unique (spec, record) pairs; first occurrence carries order
-            keys = (spec_col[live].astype(np.int64) << 32) \
-                | summary[live, 1].astype(np.int64)
-            uniq, first, inverse, counts = np.unique(
-                keys, return_index=True, return_inverse=True,
-                return_counts=True)
+            stateful_rows = []
+            if live.size and meta["stateful"][spec_col[live]].any():
+                stateful_rows = [
+                    (int(row), int(spec_col[row]), int(summary[row, 1]))
+                    for row in live[meta["stateful"][spec_col[live]]].tolist()]
+            uniq_plan = []
+            if live.size:
+                # unique (spec, record) pairs; first occurrence keeps order
+                keys = (spec_col[live].astype(np.int64) << 32) \
+                    | summary[live, 1].astype(np.int64)
+                uniq, inverse, counts = np.unique(
+                    keys, return_inverse=True, return_counts=True)
+                for k in range(uniq.size):
+                    i = int(uniq[k] >> 32)
+                    if meta["stateful"][i]:
+                        continue  # replayed per occurrence instead
+                    off = int(uniq[k] & 0xFFFFFFFF)
+                    rows = live[inverse == k].tolist()
+                    uniq_plan.append((i, off, int(counts[k]), rows))
+            plans.append({"gate_counts": gate_counts,
+                          "stateful": stateful_rows,
+                          "uniq": uniq_plan})
+        return {"records": records, "mats": {}, "priorities": plans}
+
+    def _run_fast(self, pulses, want_fsk: bool, event_cb):
+        """Native batch-sliced dispatch, same semantics as _run_host.
+
+        The decoder-call gate (decoders/gates.py) skips Python decode calls
+        that provably cannot produce an event; skipped calls are accounted
+        as abort_length. Within a package, byte-identical bitbuffers reach
+        each pure decoder only once (content dedup): the unique
+        (decoder, record) pairs are decoded, then per-emission accounting
+        and event delivery are replayed vectorized / in the reference's
+        temporal order.
+
+        Two content-addressed caches make a dense block cheap: the *train
+        memo* (identical pulse trains share one native slicing pass +
+        gating/dedup plan) and the *decode cache* (identical bitbuffers
+        share one decode call per decoder). Stateful decoders and all
+        accounting/event delivery replay live, so semantics are unchanged.
+        """
+        import numpy as np
+        from ..pulse.native_slicers import materialize_bytes
+
+        bank = self._get_bank(want_fsk, pulses.sample_rate)
+        devs = bank.devices
+        if not devs:
+            return 0
+        meta = self._bank_meta(bank)
+
+        if self._dec_cache_version != self._version:
+            self._dec_cache = {}
+            self._train_cache = {}
+            self._dec_cache_version = self._version
+        dec_cache = self._dec_cache
+
+        pulse = np.asarray(pulses.pulse, np.int32)
+        gap = np.asarray(pulses.gap, np.int32)
+        tkey = (want_fsk, pulses.sample_rate,
+                pulse.tobytes(), gap.tobytes())
+        memo = self._train_cache.get(tkey)
+        if memo is None:
+            memo = self._build_train_memo(bank, meta, pulse, gap)
+            if len(self._train_cache) >= self.train_cache_max:
+                self._train_cache.clear()
+            self._train_cache[tkey] = memo
+
+        records = memo["records"]
+        mats = memo["mats"]
+
+        def _mat(off):
+            bits = mats.get(off)
+            if bits is None:
+                bits = materialize_bytes(records[off])
+                mats[off] = bits
+            return bits
+
+        p_events = 0
+        for plan in memo["priorities"]:
+            if p_events:
+                break  # higher priorities run only while no event yet
+
+            # accounting of gated (skipped) calls
+            for i, c in plan["gate_counts"]:
+                dev = devs[i]
+                dev.decode_events += c
+                dev.decode_fails["abort_length"] = \
+                    dev.decode_fails.get("abort_length", 0) + c
 
             emitting = []  # (summary_row, dev, events) for ordered delivery
 
             # stateful decoders: every occurrence is replayed, in temporal
             # order (cross-call state, e.g. two-part rolling codes)
-            if meta["stateful"][spec_col[live]].any():
-                for row in live[meta["stateful"][spec_col[live]]].tolist():
-                    i = int(spec_col[row])
-                    dev = devs[i]
-                    off = int(summary[row, 1])
-                    bits = mat_cache.get(off)
-                    if bits is None:
-                        bits = bank.materialize(off)
-                        mat_cache[off] = bits
-                    ret = (dev.decode_fn(bits.clone(), dev)
-                           if dev.decode_fn else 0)
-                    events = dev.account(ret)
-                    if events:
-                        emitting.append((row, dev, events))
-
-            for k in range(uniq.size):
-                i = int(uniq[k] >> 32)
-                off = int(uniq[k] & 0xFFFFFFFF)
+            for row, i, off in plan["stateful"]:
                 dev = devs[i]
-                n_calls = int(counts[k])
-                if meta["stateful"][i]:
-                    continue  # handled above
-                ckey = (want_fsk, i, bank.record_bytes(off))
+                ret = (dev.decode_fn(_mat(off).clone(), dev)
+                       if dev.decode_fn else 0)
+                events = dev.account(ret)
+                if events:
+                    emitting.append((row, dev, events))
+
+            for i, off, n_calls, rows in plan["uniq"]:
+                dev = devs[i]
+                ckey = (want_fsk, i, records[off])
                 ret = dec_cache.get(ckey, _MISS)
                 if ret is _MISS:
-                    bits = mat_cache.get(off)
-                    if bits is None:
-                        bits = bank.materialize(off)
-                        mat_cache[off] = bits
-                    ret = dev.decode_fn(bits.clone(), dev)
+                    ret = dev.decode_fn(_mat(off).clone(), dev)
                     if len(dec_cache) >= self.dec_cache_max:
                         dec_cache.clear()
                     dec_cache[ckey] = ret
@@ -358,8 +416,7 @@ class Registry:
                     dev.decode_events += n_calls
                     dev.decode_ok += n_calls
                     dev.decode_messages += len(ret) * n_calls
-                    rows = live[inverse == k]
-                    for row in rows.tolist():
+                    for row in rows:
                         # fresh copies: downstream prepends meta per event
                         evs = [type(e)(list(e.fields)) for e in ret]
                         emitting.append((row, dev, evs))

@@ -205,3 +205,18 @@ class SlicerBank:
         syncs = u16[nr:2 * nr]
         bb = arena[offset + head: offset + head + fr * 128].reshape(fr, 128)
         return BitBuffer.from_arrays(bb, bits_per_row, nr, syncs)
+
+
+def materialize_bytes(blob: bytes) -> BitBuffer:
+    """Decode a serialized record (``record_bytes`` output) into a
+    BitBuffer — used by the train memo, which must outlive the reusable
+    arena the record was sliced into."""
+    arena = np.frombuffer(blob, np.uint8)
+    nr = int(arena[0:4].view(np.int32)[0])
+    fr = int(arena[4:8].view(np.int32)[0])
+    head = 8 + ((4 * nr + 3) & ~3)
+    u16 = arena[8: 8 + 4 * nr].view(np.uint16)
+    bits_per_row = u16[:nr]
+    syncs = u16[nr:2 * nr]
+    bb = arena[head: head + fr * 128].reshape(fr, 128)
+    return BitBuffer.from_arrays(bb, bits_per_row, nr, syncs)
