@@ -272,8 +272,15 @@ class Registry:
         Returns {"records": {off: bytes}, "mats": {off: BitBuffer},
         "priorities": [per-priority dispatch plan]} — the plan holds plain
         Python ints/lists so the replay loop does no numpy scalar work.
+
+        Candidate pairs whose decoder has a MIC gate (decoders/mic_gates.py)
+        are checksum-prefiltered here with the batched kernels: provably
+        DECODE_FAIL_MIC calls never reach Python decode and are accounted
+        as ``fail_mic``.
         """
         import numpy as np
+        from .mic_gates import MIC_GATES, gate_bits
+        from ..pulse.native_slicers import materialize_bytes
 
         devs = bank.devices
         summary, _ = bank.slice(pulse, gap)
@@ -292,6 +299,7 @@ class Registry:
         for off in np.unique(summary[:, 1]).tolist():
             records[off] = bank.record_bytes(off)
 
+        mats = {}
         plans = []
         for priority in np.unique(meta["priority"]).tolist():
             in_p = prio_col == priority
@@ -308,6 +316,7 @@ class Registry:
                     (int(row), int(spec_col[row]), int(summary[row, 1]))
                     for row in live[meta["stateful"][spec_col[live]]].tolist()]
             uniq_plan = []
+            mic_counts = []
             if live.size:
                 # unique (spec, record) pairs; first occurrence keeps order
                 keys = (spec_col[live].astype(np.int64) << 32) \
@@ -319,12 +328,23 @@ class Registry:
                     if meta["stateful"][i]:
                         continue  # replayed per occurrence instead
                     off = int(uniq[k] & 0xFFFFFFFF)
+                    n_calls = int(counts[k])
+                    mspec = MIC_GATES.get(devs[i].symbol)
+                    if mspec is not None:
+                        bits = mats.get(off)
+                        if bits is None:
+                            bits = materialize_bytes(records[off])
+                            mats[off] = bits
+                        if not gate_bits(bits, mspec):
+                            mic_counts.append((i, n_calls))
+                            continue
                     rows = live[inverse == k].tolist()
-                    uniq_plan.append((i, off, int(counts[k]), rows))
+                    uniq_plan.append((i, off, n_calls, rows))
             plans.append({"gate_counts": gate_counts,
+                          "mic_counts": mic_counts,
                           "stateful": stateful_rows,
                           "uniq": uniq_plan})
-        return {"records": records, "mats": {}, "priorities": plans}
+        return {"records": records, "mats": mats, "priorities": plans}
 
     def _run_fast(self, pulses, want_fsk: bool, event_cb):
         """Native batch-sliced dispatch, same semantics as _run_host.
@@ -390,6 +410,11 @@ class Registry:
                 dev.decode_events += c
                 dev.decode_fails["abort_length"] = \
                     dev.decode_fails.get("abort_length", 0) + c
+            for i, c in plan["mic_counts"]:
+                dev = devs[i]
+                dev.decode_events += c
+                dev.decode_fails["fail_mic"] = \
+                    dev.decode_fails.get("fail_mic", 0) + c
 
             emitting = []  # (summary_row, dev, events) for ordered delivery
 

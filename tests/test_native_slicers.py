@@ -173,3 +173,62 @@ def test_gates_subthreshold_never_decode():
             ret = d.decode_fn(bits.clone(), d)
             assert not (isinstance(ret, list) and ret), \
                 f"{d.symbol} decoded below its gate {GATES[d.symbol]}"
+
+def test_mic_gates_pass_all_oracle_vectors():
+    """A MIC gate must never exclude a bitbuffer its decoder can decode."""
+    from test_decoder_oracle import VECTORS
+    from rtl_433_tpu.decoders.mic_gates import MIC_GATES, gate_bits
+    reg = Registry()
+    checked = 0
+    for num, code, _ in VECTORS:
+        arg = None
+        if isinstance(num, str) and ":" in num:
+            n, arg = num.split(":", 1)
+            num = int(n)
+        dev = reg.get(num)
+        if dev is None or not dev.decode_fn:
+            continue
+        dev.arg = arg
+        spec = MIC_GATES.get(dev.symbol)
+        if not spec:
+            continue
+        for part in code.split("|"):
+            bits = BitBuffer.parse(part)
+            ret = dev.decode_fn(bits.clone(), dev)
+            if isinstance(ret, list) and ret:
+                assert gate_bits(bits.clone(), spec), \
+                    f"{dev.symbol} decoded but its MIC gate vetoes it"
+                checked += 1
+    assert checked >= 5, "too few MIC-gated decoders exercised"
+
+
+def test_mic_gate_fail_never_decodes():
+    """Random bitbuffers failing a decoder's MIC gate must produce no
+    events (the gate is a necessary condition)."""
+    from rtl_433_tpu.decoders.mic_gates import MIC_GATES, gate_bits
+    rng = np.random.default_rng(7)
+    reg = Registry()
+    devs = [d for d in reg.slots
+            if d is not None and d.decode_fn and d.symbol in MIC_GATES]
+    assert devs
+    buffers = []
+    for _ in range(60):
+        bits = BitBuffer()
+        nrows = int(rng.integers(1, 4))
+        for r in range(nrows):
+            for _ in range(int(rng.integers(8, 100))):
+                bits.add_bit(int(rng.integers(2)))
+            if r < nrows - 1:
+                bits.add_row()
+        buffers.append(bits)
+    vetoed = 0
+    for d in devs:
+        spec = MIC_GATES[d.symbol]
+        for bits in buffers:
+            if gate_bits(bits.clone(), spec):
+                continue  # gate passes; decoder may do anything
+            vetoed += 1
+            ret = d.decode_fn(bits.clone(), d)
+            assert not (isinstance(ret, list) and ret), \
+                f"{d.symbol} decoded a bitbuffer its MIC gate vetoes"
+    assert vetoed > 100
