@@ -818,60 +818,43 @@ def _empty_ring(params: DetectorParams, C):
     }
 
 
-def process_block(params: DetectorParams, state, iq, n_valid=None,
-                  flush: bool = False):
-    """Process one IQ block for all channels; returns (state, packages).
+def _block_scan(params: DetectorParams, regs, iq, n_valid, gen0, t0=0):
+    """Front-end (Pass A) + chunked FSM scan over one contiguous region.
 
-    iq: uint8 [C, N, 2] (cu8). The pipeline is the device equivalent of
-    push_sdr_flow (ref src/r_flow.c:104-372): AM estimation -> AM low-pass
-    -> FM discrimination+low-pass -> pulse detection -> package publish.
+    ``regs`` must contain the transient ring keys (:func:`_empty_ring`) and
+    have the per-call resets already applied. ``t0`` is the absolute stream
+    position of ``iq[:, 0]`` in the *block* coordinate frame: validity
+    masking, record positions and ``pkg_start`` stamps all use
+    ``t0 + local_index``, so a block may be evaluated as several contiguous
+    regions (time-axis sharding, parallel/timeshard.py) whose chained
+    results are bit-identical to one sequential evaluation. ``n_valid``
+    stays in the block frame (global); ``gen0`` is the block-incoming
+    package generation the ring keys are made relative to.
 
-    N must be a multiple of params.chunk; ``n_valid`` (traced scalar)
-    marks the real sample count — padded tail samples are no-ops, so any
-    padding value works and file tails match the reference exactly.
-
-    Published packages are in state["out_*"]; callers fetch + reset via
-    :func:`take_packages`.
+    Returns ``(regs, log_key, log_p, log_g, eop_log, avg_db)`` with logs in
+    temporal order for this region.
     """
     C, N, _ = iq.shape
-    assert N % params.chunk == 0, "block length must be a multiple of chunk"
-    # n_valid=None is the streaming hot path: every sample is valid and the
-    # per-step tail-masking ops are compiled out entirely.
+    assert N % params.chunk == 0, "region length must be a multiple of chunk"
+    assert N <= _max_block_samples()  # int32 record keys (see segmentation)
+    # local (region-frame) validity for the front-end kernels
+    local_valid = None
     if n_valid is not None:
-        n_valid = jnp.asarray(n_valid, jnp.int32)
-
-    # segment very large blocks so record-log sort keys stay int32
-    # (int32 record keys); state threads through, flush only on the last
-    SEG = 1 << 17
-    if N > SEG:
-        assert N % SEG == 0 or N % params.chunk == 0
-        avgs = []
-        off = 0
-        while off < N:
-            seg_n = min(SEG, N - off)
-            seg_valid = None
-            if n_valid is not None:
-                seg_valid = jnp.clip(n_valid - off, 0, seg_n)
-            last = off + seg_n >= N
-            state, avg_db = process_block(
-                params, state, iq[:, off:off + seg_n], seg_valid,
-                flush=flush and last)
-            avgs.append(avg_db)
-            off += seg_n
-        return state, jnp.stack(avgs).mean(axis=0)
+        local_valid = jnp.clip(n_valid - t0, 0, N)
 
     # Pass A: estimators + IIRs. The Pallas path fuses AM estimation, the
     # AM low-pass, the FM discriminator and the FM low-pass in one kernel
     # (ref src/r_flow.c:151-194 equivalents); the fallback computes the
     # elementwise parts here and the IIRs inside the scan step.
     prefiltered = bool(params.pallas_frontend)
+    state = regs
     if prefiltered:
         from ..ops.frontend import frontend as _pallas_frontend
         am_raw, phi, state, avg_db = _pallas_frontend(
             iq, state, sample_rate=params.sample_rate,
             use_mag_est=params.use_mag_est, enable_fm=params.enable_fm,
             fm_low_pass=params.fm_low_pass, fsk_minmax=params.fsk_minmax,
-            n_valid=n_valid, time_major=True)
+            n_valid=local_valid, time_major=True)
         alp1, blp = 0, 0
     elif params.use_mag_est:
         am_raw, avg_db = baseband.magnitude_est_cu8(iq)
@@ -879,9 +862,15 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         am_raw, avg_db = baseband.envelope_detect_cu8(iq)
 
     if not prefiltered and params.enable_fm:
-        phi, _, _ = baseband.fm_discriminate_cu8(iq, state["fm_xr"], state["fm_xi"])
-        # carry the last *valid* IQ sample for the next block's discriminator
-        last = N - 1 if n_valid is None else jnp.maximum(n_valid - 1, 0)
+        phi, _, _ = baseband.fm_discriminate_cu8(iq, state["fm_xr"],
+                                                 state["fm_xi"])
+        # carry the last *valid* IQ sample for the next region's
+        # discriminator (clipped to this region; a region with no valid
+        # samples keeps the quirky index-0 read the sequential path has)
+        if local_valid is None:
+            last = N - 1
+        else:
+            last = jnp.clip(local_valid - 1, 0, N - 1)
         xr = iq[:, :, 0].astype(jnp.int32)[:, last] - 128
         xi = iq[:, :, 1].astype(jnp.int32)[:, last] - 128
         state = dict(state, fm_xr=xr, fm_xi=xi)
@@ -892,17 +881,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
         # behavior of the reference's buf.temp/buf.fm)
         phi = am_raw
         alp1, blp = 0, 0
-
-    # per-call resets (ref src/pulse_detect.c:283 and :291)
-    regs = dict(state)
-    regs["high_est"] = jnp.maximum(regs["high_est"], regs["min_high"])
-    regs["eop_spur"] = jnp.zeros_like(regs["eop_spur"])
-    # age package-start positions: previous block's starts become negative
-    regs["pkg_start"] = regs["pkg_start"] - (N if n_valid is None else n_valid)
-    regs.update(_empty_ring(params, C))
-
-    assert N <= _max_block_samples()  # int32 record keys (see segmentation)
-    gen0 = regs["gen"]
+    regs = state
 
     Ts = params.chunk
     U = params.unroll
@@ -921,7 +900,7 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
             n_chunks, Ts // U, U, C)
         phi_x = phi.astype(jnp.int32).swapaxes(0, 1).reshape(
             n_chunks, Ts // U, U, C)
-    t_x = jnp.arange(N, dtype=jnp.int32).reshape(n_chunks, Ts // U, U)
+    t_x = t0 + jnp.arange(N, dtype=jnp.int32).reshape(n_chunks, Ts // U, U)
 
     # keys the per-sample FSM reads/writes; the big pulse/output/log
     # buffers are only touched by the append/end-of-block drain, and
@@ -1022,12 +1001,69 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
 
     regs, (ky, py, gy, ey) = lax.scan(chunk_body, regs, (am_x, phi_x, t_x))
 
-    # stacked scan outputs -> per-block record/EOP logs in temporal order
+    # stacked scan outputs -> per-region record/EOP logs in temporal order
     R, E = params.ring, params.eops
     log_key = jnp.swapaxes(ky, 0, 1).reshape(C, n_chunks * R)
     log_p = jnp.swapaxes(py, 0, 1).reshape(C, n_chunks * R)
     log_g = jnp.swapaxes(gy, 0, 1).reshape(C, n_chunks * R)
     eop_log = jnp.swapaxes(ey, 0, 1).reshape(C, n_chunks * E, META_FIELDS)
+
+    return regs, log_key, log_p, log_g, eop_log, avg_db
+
+
+def process_block(params: DetectorParams, state, iq, n_valid=None,
+                  flush: bool = False):
+    """Process one IQ block for all channels; returns (state, packages).
+
+    iq: uint8 [C, N, 2] (cu8). The pipeline is the device equivalent of
+    push_sdr_flow (ref src/r_flow.c:104-372): AM estimation -> AM low-pass
+    -> FM discrimination+low-pass -> pulse detection -> package publish.
+
+    N must be a multiple of params.chunk; ``n_valid`` (traced scalar)
+    marks the real sample count — padded tail samples are no-ops, so any
+    padding value works and file tails match the reference exactly.
+
+    Published packages are in state["out_*"]; callers fetch + reset via
+    :func:`take_packages`.
+    """
+    C, N, _ = iq.shape
+    assert N % params.chunk == 0, "block length must be a multiple of chunk"
+    # n_valid=None is the streaming hot path: every sample is valid and the
+    # per-step tail-masking ops are compiled out entirely.
+    if n_valid is not None:
+        n_valid = jnp.asarray(n_valid, jnp.int32)
+
+    # segment very large blocks so record-log sort keys stay int32
+    # (int32 record keys); state threads through, flush only on the last
+    SEG = 1 << 17
+    if N > SEG:
+        assert N % SEG == 0 or N % params.chunk == 0
+        avgs = []
+        off = 0
+        while off < N:
+            seg_n = min(SEG, N - off)
+            seg_valid = None
+            if n_valid is not None:
+                seg_valid = jnp.clip(n_valid - off, 0, seg_n)
+            last = off + seg_n >= N
+            state, avg_db = process_block(
+                params, state, iq[:, off:off + seg_n], seg_valid,
+                flush=flush and last)
+            avgs.append(avg_db)
+            off += seg_n
+        return state, jnp.stack(avgs).mean(axis=0)
+
+    # per-call resets (ref src/pulse_detect.c:283 and :291)
+    regs = dict(state)
+    regs["high_est"] = jnp.maximum(regs["high_est"], regs["min_high"])
+    regs["eop_spur"] = jnp.zeros_like(regs["eop_spur"])
+    # age package-start positions: previous block's starts become negative
+    regs["pkg_start"] = regs["pkg_start"] - (N if n_valid is None else n_valid)
+    regs.update(_empty_ring(params, C))
+
+    gen0 = regs["gen"]
+    regs, log_key, log_p, log_g, eop_log, avg_db = _block_scan(
+        params, regs, iq, n_valid, gen0)
 
     if flush:
         regs, frow = _flush(params, regs, N if n_valid is None else n_valid,
