@@ -161,10 +161,14 @@ class MultiHostEngine:
         iq = make_global(local_iq, self.mesh,
                          P(("host", "ch"), None, None))
         self.state, avg_db, noise = self._step(self.state, iq)
-        self.noise_floor_db = float(
-            np.asarray(jax.experimental.multihost_utils.
-                       process_allgather(noise))[0]
-            if hasattr(jax.experimental, "multihost_utils") else noise)
+        # the pmean output is replicated over the global mesh (out_specs
+        # P()), so every process holds the same value in its addressable
+        # shard — read it locally, no cross-host gather needed
+        try:
+            self.noise_floor_db = float(np.asarray(
+                noise.addressable_data(0)))
+        except (AttributeError, IndexError):
+            self.noise_floor_db = float(np.asarray(noise))
         return avg_db
 
     def _harvest(self):

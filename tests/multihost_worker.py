@@ -48,6 +48,21 @@ eng.push(iq)
 noise = eng.noise_floor_db
 events = [(c, event_to_json(ev)) for c, ev in eng.local_events()]
 
+# optional weak-scaling measurement: repeat the block R times and report
+# per-process detector throughput (samples/s); the driver compares per-
+# process rates across world sizes for an efficiency percentage
+bench_reps = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+rate = None
+if bench_reps:
+    import time
+    t0 = time.time()
+    for _ in range(bench_reps):
+        eng.push(iq)
+        eng.local_events()
+    dt = time.time() - t0
+    rate = bench_reps * iq.shape[1] * iq.shape[0] / dt
+
 with open(outfile, "w") as f:
-    json.dump({"pid": pid, "noise": noise, "events": events}, f)
+    json.dump({"pid": pid, "noise": noise, "events": events,
+               "samples_per_s": rate}, f)
 print(f"worker {pid}: {len(events)} events, noise {noise:.1f} dB")

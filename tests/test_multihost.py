@@ -82,3 +82,56 @@ def test_two_process_matches_single(tmp_path):
 
     assert sorted(got) == sorted(want)
     assert any("Nexus" in e for _, e in got)
+
+
+@pytest.mark.slow
+def test_weak_scaling_efficiency(tmp_path):
+    """Weak scaling: fixed channels per process, 1 vs 2 processes; report
+    per-process detector throughput efficiency (the DCN-overhead stand-in
+    for the >=80% multi-chip target until real multi-chip hardware exists).
+    This host has one core, so the two workers timeshare it — the 2-process
+    rate is normalised by the measured oversubscription to isolate the
+    DCN/collective overhead rather than raw CPU contention."""
+    import time
+
+    def run_world(nproc, reps):
+        port = _free_port()
+        coordinator = f"127.0.0.1:{port}"
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = os.pathsep.join(
+            [os.path.dirname(os.path.dirname(__file__)),
+             os.path.dirname(__file__)])
+        procs, outs = [], []
+        t0 = time.time()
+        for pid in range(nproc):
+            out = tmp_path / f"ws{nproc}_{pid}.json"
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__),
+                              "multihost_worker.py"),
+                 coordinator, str(nproc), str(pid), str(out), str(reps)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        for p in procs:
+            stdout, _ = p.communicate(timeout=900)
+            assert p.returncode == 0, stdout
+        rates = []
+        for out in outs:
+            data = json.loads(out.read_text())
+            assert data["samples_per_s"]
+            rates.append(data["samples_per_s"])
+        return min(rates), time.time() - t0
+
+    r1, wall1 = run_world(1, reps=3)
+    r2, wall2 = run_world(2, reps=3)
+    # per-process rate ratio, corrected for single-core oversubscription
+    # (2 procs on 1 core halve each other's CPU share)
+    cores = os.cpu_count() or 1
+    oversub = max(1.0, 2.0 / cores)
+    eff = (r2 * oversub) / r1
+    print(f"\nweak scaling: 1p={r1/1e6:.2f} MS/s/proc, "
+          f"2p={r2/1e6:.2f} MS/s/proc, oversub x{oversub:.0f}, "
+          f"DCN efficiency ~{eff*100:.0f}%")
+    assert eff > 0.5, "DCN overhead dominates the 2-process run"
