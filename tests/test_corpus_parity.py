@@ -53,8 +53,16 @@ def _our_events(num, path):
     return [_normalize(json.loads(event_to_json(e))) for e in evs]
 
 
-def build_corpus_entry(num, code, tmpdir):
-    """Vector -> cu8 file, or None when the modulation is not invertible."""
+def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
+                       time_scale=1.0, jitter=0.0, seed_extra=0):
+    """Vector -> cu8 file, or None when the modulation is not invertible.
+
+    Impairment knobs model real-capture warts for the noisy replay suite
+    (tests/test_corpus_noisy.py): ``amp``/``noise`` set the SNR,
+    ``time_scale`` applies a transmitter clock offset to every width, and
+    ``jitter`` adds per-edge uniform timing error (fraction of the width).
+    """
+    import numpy as np
     from rtl_433_tpu.bits.bitbuffer import BitBuffer
     from rtl_433_tpu.decoders import Registry
     reg = Registry()
@@ -65,6 +73,11 @@ def build_corpus_entry(num, code, tmpdir):
     train = modulate(bits, dev)
     if train is None:
         return None
+    if time_scale != 1.0 or jitter:
+        rng = np.random.default_rng(1000 + num + seed_extra)
+        train = [(p * time_scale * (1 + rng.uniform(-jitter, jitter)),
+                  g * time_scale * (1 + rng.uniform(-jitter, jitter)))
+                 for p, g in train]
     # short-bit protocols need the high-band rate for >=10-sample pulses
     rate = 250_000 if dev.short_width >= 60 else 1_024_000
     if dev.is_fsk:
@@ -76,8 +89,8 @@ def build_corpus_entry(num, code, tmpdir):
         # PCM where a bit period is well-defined
         if dev.short_width == dev.long_width and dev.short_width > 0:
             for _ in range(10):
-                seq.append((dev.short_width, True))
-                seq.append((dev.short_width, False))
+                seq.append((dev.short_width * time_scale, True))
+                seq.append((dev.short_width * time_scale, False))
         for p, g in train[:-1]:
             seq.append((p, True))
             seq.append((g, False))
@@ -92,11 +105,13 @@ def build_corpus_entry(num, code, tmpdir):
         # above the FSK tracker's delta (6000 int16-phase units): a fixed
         # 40 kHz separation is only ~2550 units at 1.024 MS/s
         iq = synth_fsk(seq, rate=rate, f1_hz=rate * 60_000 / 250_000,
-                       f2_hz=rate * 20_000 / 250_000,
-                       lead_in_us=16_000, tail_us=80_000, seed=num)
+                       f2_hz=rate * 20_000 / 250_000, amp=amp, noise=noise,
+                       lead_in_us=16_000, tail_us=80_000,
+                       seed=num + seed_extra)
     else:
-        iq = synth_ook(train, rate=rate, lead_in_us=16_000, tail_us=80_000,
-                       seed=num)
+        iq = synth_ook(train, rate=rate, amp=amp, noise=noise,
+                       lead_in_us=16_000, tail_us=80_000,
+                       seed=num + seed_extra)
     name = f"g{num:03d}_433.92M_{rate // 1000}k.cu8"
     path = os.path.join(tmpdir, name)
     iq.tofile(path)
