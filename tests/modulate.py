@@ -18,17 +18,24 @@ def _ppm(bits, dev):
     s, l, y = dev.short_width, dev.long_width, dev.sync_width
     g, r, t = dev.gap_limit, dev.reset_limit, dev.tolerance
     pulse = min(max(s, 100.0), 1000.0)
+    # row gaps must stay under the DETECTOR's end-of-package threshold
+    # (max(10 * max_pulse, 10 ms), ref src/pulse_detect.c PD_MAX_GAP_RATIO/
+    # PD_MIN_GAP_MS) or the package splits before the slicer sees the rows
+    eop_guard = max(10 * pulse, 10_000.0) * 0.9
     if t > 0:
         zero, one = s, l
-        row_gap = l + t + (r - (l + t)) / 2
+        r_cap = min(r, eop_guard)
+        row_gap = l + t + (r_cap - (l + t)) / 2
         if y > 0 and abs(row_gap - y) <= t:
-            row_gap = (y + t + r) / 2
+            row_gap = (y + t + r_cap) / 2
         if row_gap >= r or row_gap <= l + t:
             row_gap = None
     else:
         zero, one = s, l
         one_u = g if g else r
-        row_gap = (one_u + r) / 2 if one_u < r else None
+        r_cap = min(r, eop_guard)
+        row_gap = (one_u + r_cap) / 2 if one_u < r_cap else (
+            (one_u + r) / 2 if one_u < r else None)
     end_gap = r * 1.5 + 1000
     train = []
     for row in range(bits.num_rows):
@@ -57,7 +64,11 @@ def _pwm(bits, dev):
     gap = min(lim / 2, max(s, 100.0))
     if gap <= 0:
         return None
-    row_gap = (g + r) / 2 if 0 < g < r else None
+    # keep row gaps under the DETECTOR's end-of-package threshold
+    # (max(10 * max_pulse, 10 ms)) or the package splits before slicing
+    eop_guard = max(10 * max(s, l, y), 10_000.0) * 0.9
+    row_gap = (g + min(r, eop_guard)) / 2 if 0 < g < min(r, eop_guard) \
+        else ((g + r) / 2 if 0 < g < r else None)
     train = []
     for row in range(bits.num_rows):
         for _ in range(bits.syncs_before_row[row]):
@@ -81,7 +92,7 @@ def _pwm(bits, dev):
     return train
 
 
-def _pcm(bits, dev):
+def _pcm(bits, dev, head_bits=None):
     s, l = dev.short_width, dev.long_width
     g, r = dev.gap_limit, dev.reset_limit
     end_gap = r * 1.5 + 1000
@@ -90,16 +101,28 @@ def _pcm(bits, dev):
     row_gap = (g + r) / 2 if 0 < g < r else None
     if bits.num_rows > 1 and row_gap is None:
         return None
+    is_fsk = dev.modulation.startswith("FSK")
     train = []
     for row in range(bits.num_rows):
         rowbits = _row_str(bits, row)
-        # leading zeros cannot be transmitted before the first pulse —
-        # trim them; decoders search for their sync anywhere in the row
-        # and BOTH pipelines replay the same IQ
+        if head_bits and (row == 0 or not is_fsk):
+            # every OOK row loses its untransmittable leading zeros —
+            # phase-protect each row, not just the first
+            rowbits = "".join("1" if b else "0" for b in head_bits) + rowbits
+        # OOK: leading zeros cannot be transmitted before the first pulse
+        # (carrier-off equals silence) — trim them; decoders search for
+        # their sync anywhere in the row and BOTH pipelines replay the
+        # same IQ.  FSK: a zero is a real tone (space/f2, carrier on), so
+        # leading zeros ARE transmittable — emit them as an initial
+        # zero-length-pulse pair so frames whose sync begins with 0 bits
+        # survive bit-exact (e.g. 0x33 Manchester sync).
+        lead = len(rowbits) - len(rowbits.lstrip("0"))
         rowbits = rowbits.lstrip("0")
         i = 0
         n = len(rowbits)
         rt = []
+        if is_fsk and lead and rowbits and s == l:
+            rt.append((0.0, lead * l))
         if not rowbits:
             # all-zero row: a sub-short spurious pulse (emits no 1s) whose
             # following gap zero-fills the row up to the max_zeros cap
@@ -273,10 +296,15 @@ def _mc_zerobit(bits, dev):
     if any(not rb for rb in rows):
         return None
     if len(rows) > 1:
-        # a gap in (2s+tol, reset] is out of tolerance and starts a new
-        # row (slicer_manchester_zerobit); needs tolerance > 0
-        brk = (2 * s + t + r) / 2
-        if t <= 0 or not (2 * s + t < brk <= r):
+        # Rows must break on an out-of-tolerance PULSE, not a long gap: the
+        # slicer (slicer_manchester_zerobit) processes the break pair's gap
+        # AFTER add_row/add_bit(0), so a break GAP > 1.5s injects a
+        # spurious extra 0 into the new row. A separator pair
+        # (pulse > 2s+tol, gap < s-tol) triggers the break on the pulse
+        # and leaves the next row's phase clean; needs tolerance > 0.
+        brk_pulse = 2 * s + t + s
+        brk_gap = min(s - t, s * 0.5) * 0.5 if t < s else s * 0.25
+        if t <= 0 or brk_gap <= 0:
             return None
     train = []
     for idx, rowbits in enumerate(rows):
@@ -305,8 +333,13 @@ def _mc_zerobit(bits, dev):
             rt.append(((j - i) * s, (k - j) * s))
             i = k
         if idx < len(rows) - 1:
-            # replace the trailing low halves with the row-break gap
-            rt[-1] = (rt[-1][0], brk)
+            # separator pair: out-of-tolerance long pulse, tiny gap. A
+            # row ending in a high half leaves a zero-gap tail pair —
+            # merge it into the separator pulse or the slicer breaks twice
+            if rt and rt[-1][1] < 1.0:
+                rt[-1] = (rt[-1][0] + brk_pulse, brk_gap)
+            else:
+                rt.append((brk_pulse, brk_gap))
         else:
             rt[-1] = (rt[-1][0], rt[-1][1] + end_gap)
         train += rt
@@ -336,12 +369,20 @@ MODULATORS = {
 }
 
 
-def modulate(bits, dev):
-    """BitBuffer + RDevice -> [(pulse_us, gap_us), ...] or None."""
+def modulate(bits, dev, head_bits=None):
+    """BitBuffer + RDevice -> [(pulse_us, gap_us), ...] or None.
+
+    ``head_bits`` (PCM only): sacrificial bits prepended to row 0 before
+    encoding — OOK cannot transmit a frame's leading zeros (carrier off),
+    so a head replicating the frame's lead pattern preserves the frame's
+    own bit phase through the untransmittable prefix (fitted per protocol
+    by tests/test_corpus_parity.py)."""
     fn = MODULATORS.get(dev.modulation)
     if fn is None:
         return None
     try:
+        if fn is _pcm and head_bits:
+            return _pcm(bits, dev, head_bits)
         return fn(bits, dev)
     except Exception:
         return None

@@ -27,7 +27,7 @@ from synth import synth_ook, synth_fsk
 
 BIN = "/tmp/rtlbuild/src/rtl_433"
 
-MIN_PARITY_PROTOCOLS = 290
+MIN_PARITY_PROTOCOLS = 345
 
 
 def _normalize(ev):
@@ -53,14 +53,47 @@ def _our_events(num, path):
     return [_normalize(json.loads(event_to_json(e))) for e in evs]
 
 
+# per-protocol fitted FSK lock-head variant (see _FSK_HEADS), learned once
+# per session by replaying against the reference binary
+_HEAD_FIT: dict = {}
+
+# candidate sacrificial lock heads for FSK PCM packages: the tracker eats
+# a signal-dependent number of leading bit periods while locking and labels
+# the first tone as the mark, so different decoders want different heads —
+# none for exact-length windows (danfoss), alternating for 0xAA preambles,
+# alternating + copies of the frame's first 16 bits for 0x33/0xCC syncs.
+_FSK_HEADS = ("lock+copy", "lock", "copy", "none", "longlock")
+
+
+def _head_bits(head, bits):
+    f16 = [(bits.bb[0][i // 8] >> (7 - i % 8)) & 1
+           for i in range(min(16, bits.bits_per_row[0]))]
+    lock = [1, 0] * 8
+    if head == "lock+copy":
+        return lock + f16 * 3
+    if head == "lock":
+        return lock
+    if head == "copy":
+        return f16
+    if head == "longlock":
+        return lock * 3
+    return []
+
+
 def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
-                       time_scale=1.0, jitter=0.0, seed_extra=0):
+                       time_scale=1.0, jitter=0.0, seed_extra=0,
+                       fit_head=True):
     """Vector -> cu8 file, or None when the modulation is not invertible.
 
     Impairment knobs model real-capture warts for the noisy replay suite
     (tests/test_corpus_noisy.py): ``amp``/``noise`` set the SNR,
     ``time_scale`` applies a transmitter clock offset to every width, and
     ``jitter`` adds per-edge uniform timing error (fraction of the width).
+
+    For FSK packages the sacrificial lock head is *fitted*: candidate
+    heads are replayed through the reference binary and the first that
+    decodes is kept (cached per protocol). Fitting tunes only the synth —
+    parity is still judged by diffing both pipelines on the same file.
     """
     import numpy as np
     from rtl_433_tpu.bits.bitbuffer import BitBuffer
@@ -73,24 +106,48 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
     train = modulate(bits, dev)
     if train is None:
         return None
-    if time_scale != 1.0 or jitter:
+
+    def _impair(tr):
+        if time_scale == 1.0 and not jitter:
+            return tr
         rng = np.random.default_rng(1000 + num + seed_extra)
-        train = [(p * time_scale * (1 + rng.uniform(-jitter, jitter)),
-                  g * time_scale * (1 + rng.uniform(-jitter, jitter)))
-                 for p, g in train]
-    # short-bit protocols need the high-band rate for >=10-sample pulses
-    rate = 250_000 if dev.short_width >= 60 else 1_024_000
-    if dev.is_fsk:
+        return [(p * time_scale * (1 + rng.uniform(-jitter, jitter)),
+                 g * time_scale * (1 + rng.uniform(-jitter, jitter)))
+                for p, g in tr]
+
+    train = _impair(train)
+    # short-bit protocols need high-band rates for >=10-sample pulses
+    # (PD_MIN_PULSE_SAMPLES); sub-12us bits (M-Bus, Orion, EnOcean...)
+    # need the 4 MS/s tier
+    if dev.short_width >= 60:
+        rate = 250_000
+    elif dev.short_width >= 12:
+        rate = 1_024_000
+    else:
+        rate = 4_096_000
+    ook_pcm = (not dev.is_fsk and dev.modulation == "OOK_PULSE_PCM"
+               and dev.short_width == dev.long_width and dev.short_width > 0)
+
+    def render(head):
+        if not dev.is_fsk:
+            tr = train
+            if ook_pcm and head != "none":
+                # OOK cannot transmit the frame's leading zeros; a
+                # sacrificial head re-encoded INTO the PCM bitstream
+                # preserves the frame's own bit phase (cf. _pcm docs)
+                tr2 = modulate(bits, dev, head_bits=_head_bits(head, bits))
+                if tr2 is not None:
+                    tr = _impair(tr2)
+            return synth_ook(tr, rate=rate, amp=amp, noise=noise,
+                             lead_in_us=16_000, tail_us=80_000,
+                             seed=num + seed_extra)
         seq = []
         # the FSK tracker eats ~16 bit periods while locking (both
-        # pipelines identically), which can push length-gated decoders
-        # under their minimum (e.g. lacrosse_breezepro needs >=264 bits);
-        # real transmitters front-load extra preamble — do the same for
-        # PCM where a bit period is well-defined
+        # pipelines identically); real transmitters front-load extra
+        # preamble — do the same for PCM where a bit period is defined
         if dev.short_width == dev.long_width and dev.short_width > 0:
-            for _ in range(10):
-                seq.append((dev.short_width * time_scale, True))
-                seq.append((dev.short_width * time_scale, False))
+            for hb in _head_bits(head, bits):
+                seq.append((dev.short_width * time_scale, bool(hb)))
         for p, g in train[:-1]:
             seq.append((p, True))
             seq.append((g, False))
@@ -101,20 +158,34 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
         seq.append((train[-1][0], True))
         if trailing > 0:
             seq.append((trailing, False))
-        # scale the mark/space tones with the rate so the FM deviation stays
-        # above the FSK tracker's delta (6000 int16-phase units): a fixed
-        # 40 kHz separation is only ~2550 units at 1.024 MS/s
-        iq = synth_fsk(seq, rate=rate, f1_hz=rate * 60_000 / 250_000,
-                       f2_hz=rate * 20_000 / 250_000, amp=amp, noise=noise,
-                       lead_in_us=16_000, tail_us=80_000,
-                       seed=num + seed_extra)
-    else:
-        iq = synth_ook(train, rate=rate, amp=amp, noise=noise,
-                       lead_in_us=16_000, tail_us=80_000,
-                       seed=num + seed_extra)
+        # scale the mark/space tones with the rate so the FM deviation
+        # stays above the FSK tracker's delta (6000 int16-phase units): a
+        # fixed 40 kHz separation is only ~2550 units at 1.024 MS/s
+        return synth_fsk(seq, rate=rate, f1_hz=rate * 60_000 / 250_000,
+                         f2_hz=rate * 20_000 / 250_000, amp=amp,
+                         noise=noise, lead_in_us=16_000, tail_us=80_000,
+                         seed=num + seed_extra)
+
     name = f"g{num:03d}_433.92M_{rate // 1000}k.cu8"
     path = os.path.join(tmpdir, name)
-    iq.tofile(path)
+    fittable = (fit_head and os.path.exists(BIN)
+                and ((dev.is_fsk and dev.short_width == dev.long_width
+                      and dev.short_width > 0) or ook_pcm))
+    if not fittable:
+        default = _FSK_HEADS[0] if dev.is_fsk else "none"
+        render(_HEAD_FIT.get(num, default)).tofile(path)
+        return path
+    if num in _HEAD_FIT:
+        render(_HEAD_FIT[num]).tofile(path)
+        return path
+    heads = _FSK_HEADS if dev.is_fsk else ("none", "copy", "lock")
+    for head in heads:
+        render(head).tofile(path)
+        if _ref_events(num, path):
+            _HEAD_FIT[num] = head
+            return path
+    _HEAD_FIT[num] = heads[0]
+    render(heads[0]).tofile(path)
     return path
 
 
