@@ -146,6 +146,14 @@ def build_blocks(channels, n, rotations, active_every=4):
 
 
 def main():
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # CPU smoke-test mode: honor the env var over the host
+        # sitecustomize's forced accelerator platform (cf. cli.py)
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", "600")))
     watchdog = _arm_watchdog(float(os.environ.get("BENCH_DEADLINE", "3300")))
     import jax
@@ -184,13 +192,15 @@ def main():
     registry = Registry()
     registry.register_all()
 
-    def step_fn(state, iq):
-        state, avg_db = process_block(params, state, iq, None, flush=False)
-        comp = compact_packages(state, cap)
-        state = dict(state, out_n=jnp.zeros_like(state["out_n"]))
-        return state, comp
+    def make_step(p):
+        def step_fn(state, iq):
+            state, avg_db = process_block(p, state, iq, None, flush=False)
+            comp = compact_packages(state, cap)
+            state = dict(state, out_n=jnp.zeros_like(state["out_n"]))
+            return state, comp
+        return jax.jit(step_fn, donate_argnums=(0,))
 
-    jstep = jax.jit(step_fn, donate_argnums=(0,))
+    jstep = make_step(params)
 
     print(f"building {rotations} rotation blocks "
           f"[{channels} x {n}]...", file=sys.stderr)
@@ -241,6 +251,42 @@ def main():
     host_decode(prev)
     warm_events = len(events)
     print(f"warmup: {warm_events} events", file=sys.stderr)
+
+    # flat-arena publish A/B: the record->slot scatters cost O(C*log_cap)
+    # updates; flat_pub compacts globally first (engine._drain_block).
+    # Unmeasurable off-TPU, so self-select at bench time: one timed
+    # rotation per variant, keep the faster step.
+    flat_cap = int(os.environ.get("BENCH_FLAT_ARENA", "65536"))
+    flat_mode = os.environ.get("BENCH_FLAT_PUB", "auto")
+    if flat_cap > 0 and flat_mode != "0":
+        try:
+            jstep_flat = make_step(params._replace(flat_pub=flat_cap))
+
+            def clock(fn, st):
+                # compile + warm one rotation, then time one rotation
+                for rr in range(rotations):
+                    st, cmp_ = fn(st, blocks[rr])
+                jax.device_get(cmp_)
+                tc = time.perf_counter()
+                for rr in range(rotations):
+                    st, cmp_ = fn(st, blocks[rr])
+                jax.device_get(cmp_)
+                return time.perf_counter() - tc, st
+
+            if flat_mode == "auto":
+                t_scatter, state = clock(jstep, state)
+                t_flat, state = clock(jstep_flat, state)
+                print(f"publish A/B: scatter {t_scatter:.2f}s vs "
+                      f"flat-arena {t_flat:.2f}s per rotation set",
+                      file=sys.stderr)
+                if t_flat < t_scatter:
+                    jstep = jstep_flat
+                    print("using flat-arena publish", file=sys.stderr)
+            else:
+                jstep = jstep_flat
+                print("flat-arena publish forced on", file=sys.stderr)
+        except Exception as e:  # compile/OOM: keep the scatter path
+            print(f"flat-arena publish unavailable: {e!r}", file=sys.stderr)
 
     events.clear()
     n_pkgs = 0

@@ -100,6 +100,13 @@ class DetectorParams(NamedTuple):
                                       # fed to the publish scatters (~31%
                                       # duty at 20-sample pulses; overflow
                                       # counts into n_ring_ovf)
+    flat_pub: int = 0                 # >0: globally compact kept records
+                                      # into one flat arena of this many
+                                      # slots before the record->slot
+                                      # scatters, so scatter cost scales
+                                      # with ACTUAL records instead of
+                                      # C*log_cap (the publish wall on
+                                      # sparse-signal blocks); 0 = off
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -772,12 +779,69 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
     rec_slot = jnp.where(jnp.any(match, axis=2),
                          jnp.argmax(match, axis=2), cap)
     rec_slot = jnp.where(keep, rec_slot, cap)                 # OOB -> drop
-    c_iota = lax.broadcasted_iota(jnp.int32, (C, S), 0)
-    scat = jnp.stack([c_iota.reshape(-1), rec_slot.reshape(-1),
-                      rec_idx.astype(jnp.int32).reshape(-1)], axis=-1)
+
+    # carry rebuild: the still-open package's records (gen after the scan)
+    rel_last = jnp.maximum(r["gen"] - gen0, 0)
+    keep_carry = (rel_last == 0)[:, None, None]
+    r["carry_p"] = jnp.where(keep_carry, r["carry_p"], 0)
+    r["carry_g"] = jnp.where(keep_carry, r["carry_g"], 0)
+    is_open = keep & (rec_relg == rel_last[:, None])
+    carry_side = jnp.where(is_open, rec_fsk, 2)               # OOB -> drop
+
     dnums = lax.ScatterDimensionNumbers(
         update_window_dims=(), inserted_window_dims=(0, 1, 2),
         scatter_dims_to_operand_dims=(0, 1, 2))
+    c_iota = lax.broadcasted_iota(jnp.int32, (C, S), 0)
+
+    if params.flat_pub > 0:
+        # Flat-arena publish: the per-channel scatters above cost
+        # O(C * log_cap) updates whether or not slots hold records (the
+        # publish wall — most channels are quiet most blocks). Globally
+        # front-compact records that go ANYWHERE (a slot or the carry)
+        # into one [flat_pub] arena via counts -> exclusive bases ->
+        # searchsorted ownership, then scatter only actual records.
+        F = params.flat_pub
+        live = (rec_slot < cap) | (carry_side < 2)
+        order2 = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8),
+                             axis=1, stable=True)
+        fp = jnp.take_along_axis(log_p, order2, axis=1)
+        fg = jnp.take_along_axis(log_g, order2, axis=1)
+        fslot = jnp.take_along_axis(rec_slot, order2, axis=1)
+        fcarry = jnp.take_along_axis(carry_side, order2, axis=1)
+        fidx = jnp.take_along_axis(rec_idx.astype(jnp.int32), order2,
+                                   axis=1)
+        counts = jnp.sum(live, axis=1).astype(jnp.int32)       # [C]
+        bases = jnp.cumsum(counts) - counts                    # exclusive
+        total = bases[-1] + counts[-1]
+        r["n_ring_ovf"] = r["n_ring_ovf"].at[0].add(
+            jnp.maximum(total - F, 0))
+        j = jnp.arange(F, dtype=jnp.int32)
+        c_of = jnp.searchsorted(bases, j, side="right").astype(
+            jnp.int32) - 1
+        k_in = j - bases[c_of]
+        ok_j = j < jnp.minimum(total, F)
+        av = fp[c_of, k_in]
+        ag = fg[c_of, k_in]
+        aidx = fidx[c_of, k_in]
+        arow = jnp.where(ok_j, c_of, C)                        # OOB -> drop
+        scat = jnp.stack([arow, fslot[c_of, k_in], aidx], axis=-1)
+        r["out_p"] = lax.scatter(r["out_p"], scat, av, dnums,
+                                 unique_indices=True,
+                                 mode=lax.GatherScatterMode.FILL_OR_DROP)
+        r["out_g"] = lax.scatter(r["out_g"], scat, ag, dnums,
+                                 unique_indices=True,
+                                 mode=lax.GatherScatterMode.FILL_OR_DROP)
+        scat2 = jnp.stack([arow, fcarry[c_of, k_in], aidx], axis=-1)
+        r["carry_p"] = lax.scatter(r["carry_p"], scat2, av, dnums,
+                                   unique_indices=True,
+                                   mode=lax.GatherScatterMode.FILL_OR_DROP)
+        r["carry_g"] = lax.scatter(r["carry_g"], scat2, ag, dnums,
+                                   unique_indices=True,
+                                   mode=lax.GatherScatterMode.FILL_OR_DROP)
+        return r
+
+    scat = jnp.stack([c_iota.reshape(-1), rec_slot.reshape(-1),
+                      rec_idx.astype(jnp.int32).reshape(-1)], axis=-1)
     # deduped records have unique in-bounds targets; the unique promise
     # lets XLA vectorize the scatter instead of serializing updates
     r["out_p"] = lax.scatter(r["out_p"], scat, log_p.reshape(-1), dnums,
@@ -787,13 +851,6 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
                              unique_indices=True,
                              mode=lax.GatherScatterMode.FILL_OR_DROP)
 
-    # carry rebuild: the still-open package's records (gen after the scan)
-    rel_last = jnp.maximum(r["gen"] - gen0, 0)
-    keep_carry = (rel_last == 0)[:, None, None]
-    r["carry_p"] = jnp.where(keep_carry, r["carry_p"], 0)
-    r["carry_g"] = jnp.where(keep_carry, r["carry_g"], 0)
-    is_open = keep & (rec_relg == rel_last[:, None])
-    carry_side = jnp.where(is_open, rec_fsk, 2)               # OOB -> drop
     scat2 = jnp.stack([c_iota.reshape(-1), carry_side.reshape(-1),
                        rec_idx.astype(jnp.int32).reshape(-1)], axis=-1)
     r["carry_p"] = lax.scatter(r["carry_p"], scat2, log_p.reshape(-1),

@@ -224,3 +224,22 @@ def test_wide_drain_interval_invariance():
         assert x["pulse"].tolist() == y["pulse"].tolist()
         assert x["gap"].tolist() == y["gap"].tolist()
         assert x["ook_low_estimate"] == y["ook_low_estimate"]
+
+
+def test_flat_publish_invariance():
+    """flat_pub (global record compaction before the publish scatters)
+    must be bit-identical to the per-channel scatter path, including
+    FSK-rewind recommits and cross-block carries."""
+    for sig_fn, fsk in ((PWM_SIG, False), (FSK_SIG, False), (_rewind_sig, False)):
+        iq = sig_fn()
+        base = DetectorParams(fsk_minmax=fsk)
+        flat = DetectorParams(fsk_minmax=fsk, flat_pub=4096)
+        for blk in (None, 10_000):
+            a = run_engine(iq, base, block_len=blk)
+            b = run_engine(iq, flat, block_len=blk)
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                assert x["pulse"].tolist() == y["pulse"].tolist()
+                assert x["gap"].tolist() == y["gap"].tolist()
+                assert x["ook_low_estimate"] == y["ook_low_estimate"]
+                assert x["start"] == y["start"] and x["end"] == y["end"]
