@@ -153,7 +153,20 @@ def _pcm(bits, dev, head_bits=None):
                 rt.append((s, (l - s) + zeros * l))
                 i = j
         if row < bits.num_rows - 1:
-            rt[-1] = (rt[-1][0], rt[-1][1] + row_gap)
+            # The slicer emits min(round(total_gap/l), gap_limit//l) zeros
+            # from the row-break gap itself, so the row's trailing zeros
+            # must come OUT of that single gap: pick total_gap so the
+            # emitted count equals the row's own trailing zeros z_t
+            # (possible when (g, r] intersects ((z_t-.45)l, (z_t+.45)l);
+            # when z_t saturates the cap the plain formula already works).
+            z_t = n - len(rowbits.rstrip("0")) if rowbits else 0
+            cap_z = int(g // l) if l > 0 else 0
+            lo = max(g + l * 0.05, (z_t - 0.45) * l)
+            hi = min(r, (z_t + 0.45) * l)
+            if not is_fsk and s == l and 0 < z_t < cap_z and lo < hi:
+                rt[-1] = (rt[-1][0], (lo + hi) / 2)
+            else:
+                rt[-1] = (rt[-1][0], rt[-1][1] + row_gap)
         else:
             rt[-1] = (rt[-1][0], rt[-1][1] + end_gap)
         train += rt
