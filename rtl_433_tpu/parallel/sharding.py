@@ -204,16 +204,35 @@ class ShardedEngine:
         pkgs, self._pending = self._pending, []
         return pkgs
 
+    def use_decode_pool(self, n_workers: Optional[int] = None):
+        """Fan host decode out across worker processes (decoders/pool.py).
+
+        Channel-affine and order-preserving, so stateful decoders and
+        event order are unchanged; call close_decode_pool() (or rely on
+        process exit — workers are daemonic) when done."""
+        from ..decoders.pool import DecodePool
+        self._decode_pool = DecodePool(self.registry, n_workers=n_workers)
+        return self._decode_pool
+
+    def close_decode_pool(self):
+        pool = getattr(self, "_decode_pool", None)
+        if pool is not None:
+            pool.close()
+            self._decode_pool = None
+
     def drain_events(self, block_len: Optional[int] = None):
         """Decode all published packages into channel-attributed events.
 
         Requires a ``registry`` (decoders.Registry). Returns a list of
         (channel, Event). The pulse->event path is identical to the
         single-channel flow (same slicers, decoders, priority semantics).
+        With :meth:`use_decode_pool` active, packages decode on the worker
+        pool (channel-affine, order-preserving) instead of inline.
         """
         from ..pulse.data import PulseData
         if self.registry is None:
             raise ValueError("ShardedEngine needs registry= for events")
+        pool = getattr(self, "_decode_pool", None)
         out = []
         for pkg in self.take_packages():
             pd = PulseData(
@@ -227,9 +246,15 @@ class ShardedEngine:
                              sample_size=2,
                              use_mag_est=self.params.use_mag_est)
             ch = pkg["channel"]
+            is_fsk = pkg["type"] == PKG_FSK
+            if pool is not None:
+                pool.submit(ch, is_fsk, pd)
+                continue
             cb = lambda dev, ev, _ch=ch: out.append((_ch, ev))
-            if pkg["type"] == PKG_FSK:
+            if is_fsk:
                 self.registry.run_fsk_demods(pd, cb)
             else:
                 self.registry.run_ook_demods(pd, cb)
+        if pool is not None:
+            out.extend((ch, ev) for ch, dev, ev in pool.drain())
         return out

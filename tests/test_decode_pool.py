@@ -68,3 +68,53 @@ def test_pool_channel_affinity_keeps_stateful_order():
     chans = [c for c, _, _ in res]
     # events come back grouped by submission order: ch pattern 0,1,2,...
     assert chans[:3] == [0, 1, 2]
+
+
+@pytest.mark.skipif(sys.platform == "win32", reason="fork start method")
+def test_sharded_engine_pool_matches_inline():
+    """ShardedEngine.drain_events with the pool must equal the inline
+    path (same events, same order) on a multi-channel block."""
+    import numpy as np
+    import jax
+
+    from rtl_433_tpu.dsp.engine import DetectorParams
+    from rtl_433_tpu.parallel import make_mesh
+    from rtl_433_tpu.parallel.sharding import ShardedEngine
+    from synth import synth_ook
+
+    def burst():
+        def nexus_bits(id_):
+            v = ((id_ << 28) | (1 << 27) | (1 << 24)
+                 | ((215 & 0xFFF) << 12) | (0xF << 8) | 45)
+            return format(v, "036b")
+        from synth import ppm_pulses
+        return synth_ook(
+            ppm_pulses(nexus_bits(0x5A), pulse_us=500, gap_zero_us=1000,
+                       gap_one_us=2000, reset_us=4000, repeats=4),
+            rate=250_000, lead_in_us=20_000, tail_us=30_000, seed=9)
+
+    iq1 = burst()
+    n = 131072
+    blk = np.full((8, n, 2), 128, np.uint8)
+    for ch in (0, 3, 5):
+        blk[ch, :min(n, iq1.shape[0])] = iq1[:n]
+
+    params = DetectorParams()
+
+    def run(pooled):
+        from rtl_433_tpu.decoders import Registry
+        reg = Registry()
+        reg.register_all()
+        eng = ShardedEngine(params, 8, make_mesh(), registry=reg)
+        if pooled:
+            eng.use_decode_pool(2)
+        try:
+            eng.push(blk, n_valid=n, flush=True)
+            from rtl_433_tpu.output.data_model import event_to_json
+            return [(c, event_to_json(ev)) for c, ev in eng.drain_events()]
+        finally:
+            eng.close_decode_pool()
+
+    inline = run(False)
+    pooled = run(True)
+    assert inline and inline == pooled
