@@ -27,7 +27,7 @@ from synth import synth_ook, synth_fsk
 
 BIN = "/tmp/rtlbuild/src/rtl_433"
 
-MIN_PARITY_PROTOCOLS = 345
+MIN_PARITY_PROTOCOLS = 350
 
 
 def _normalize(ev):
@@ -100,12 +100,36 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
     from rtl_433_tpu.decoders import Registry
     reg = Registry()
     dev = reg.get(num)
-    if dev is None or "|" in code or code.upper().startswith("AAB"):
+    if dev is None:
         return None
-    bits = BitBuffer.parse(code)
-    train = modulate(bits, dev)
-    if train is None:
-        return None
+    bits = None
+    prebuilt = False
+    if code.upper().replace(" ", "").startswith("AAB"):
+        # RfRaw (Portisch B0/B1) vector: explicit bucket timings — parse
+        # in the us domain (1 MS/s) and synthesize directly
+        from rtl_433_tpu.pulse.data import rfraw_parse
+        pd = rfraw_parse(code, sample_rate=1_000_000)
+        if pd is None or not pd.pulse:
+            return None
+        train = [(float(p), float(g)) for p, g in zip(pd.pulse, pd.gap)]
+        train[-1] = (train[-1][0],
+                     max(train[-1][1], dev.reset_limit * 1.5 + 1000))
+        prebuilt = True
+    elif "|" in code:
+        # multi-part transmission (e.g. secplus_v1 rolling halves): each
+        # part is its own package; the per-part end gap separates them
+        train = []
+        for part in code.split("|"):
+            tr = modulate(BitBuffer.parse(part), dev)
+            if tr is None:
+                return None
+            train += tr
+        prebuilt = True
+    else:
+        bits = BitBuffer.parse(code)
+        train = modulate(bits, dev)
+        if train is None:
+            return None
 
     def _impair(tr):
         if time_scale == 1.0 and not jitter:
@@ -131,7 +155,7 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
     def render(head):
         if not dev.is_fsk:
             tr = train
-            if ook_pcm and head != "none":
+            if ook_pcm and head != "none" and bits is not None:
                 # OOK cannot transmit the frame's leading zeros; a
                 # sacrificial head re-encoded INTO the PCM bitstream
                 # preserves the frame's own bit phase (cf. _pcm docs)
@@ -145,7 +169,8 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
         # the FSK tracker eats ~16 bit periods while locking (both
         # pipelines identically); real transmitters front-load extra
         # preamble — do the same for PCM where a bit period is defined
-        if dev.short_width == dev.long_width and dev.short_width > 0:
+        if (dev.short_width == dev.long_width and dev.short_width > 0
+                and bits is not None):
             for hb in _head_bits(head, bits):
                 seq.append((dev.short_width * time_scale, bool(hb)))
         for p, g in train[:-1]:
@@ -168,7 +193,7 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
 
     name = f"g{num:03d}_433.92M_{rate // 1000}k.cu8"
     path = os.path.join(tmpdir, name)
-    fittable = (fit_head and os.path.exists(BIN)
+    fittable = (fit_head and not prebuilt and os.path.exists(BIN)
                 and ((dev.is_fsk and dev.short_width == dev.long_width
                       and dev.short_width > 0) or ook_pcm))
     if not fittable:
