@@ -21,7 +21,7 @@ Layer map (mirrors SURVEY.md section 1, re-designed TPU-first):
 
 import os as _os
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def _honor_platform_env():

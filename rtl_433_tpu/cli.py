@@ -197,6 +197,10 @@ def main(argv=None):
             analyze = True
         elif a.startswith("-v"):
             verbosity += a.count("v")
+        elif a == "-V":
+            from . import __version__
+            print(f"rtl_433_tpu version {__version__}")
+            return 0
         elif a in ("-h", "--help"):
             print(__doc__)
             return 0
