@@ -1,0 +1,186 @@
+"""Device slicing kernels (ops/slice.py) vs the exact Python slicers.
+
+Every (train, spec) pair must produce identical events — row counts,
+bits-per-row, packed bit content and sync counts — whenever the kernel's
+capacity flags stay clear (flagged lanes are delegated to host slicing by
+any integration, so only unflagged lanes carry a parity contract)."""
+
+import numpy as np
+import pytest
+
+from rtl_433_tpu.decoders import Registry
+from rtl_433_tpu.ops.slice import SliceCaps, ppm_bounds, slice_ppm
+from rtl_433_tpu.pulse import slicers
+from rtl_433_tpu.pulse.data import PulseData
+
+RATE = 250_000
+CAPS = SliceCaps(events=4, rows=16, row_bytes=20)
+
+
+def _ppm_devices(k=10):
+    reg = Registry()
+    devs = [d for d in reg.slots
+            if d is not None and d.modulation == "OOK_PULSE_PPM"
+            and d.decode_fn]
+    # modulation-parameter variety: tolerance and no-tolerance specs
+    tol = [d for d in devs if d.tolerance > 0][: k // 2]
+    notol = [d for d in devs if d.tolerance == 0][: k - len(tol)]
+    return tol + notol
+
+
+def _trains(devs, n_trains, rng):
+    """Random trains whose gaps cluster around each spec's windows."""
+    out = []
+    for i in range(n_trains):
+        dev = devs[i % len(devs)]
+        n = int(rng.integers(6, 60))
+        spu = RATE / 1e6
+        cands = [dev.short_width, dev.long_width, dev.sync_width or 0,
+                 dev.reset_limit * 1.2, (dev.short_width + dev.long_width)]
+        gaps = []
+        for _ in range(n):
+            g = cands[int(rng.integers(len(cands)))]
+            g = g * (1 + rng.uniform(-0.15, 0.15))
+            gaps.append(max(1, int(g * spu)))
+        pulses = [max(1, int(dev.short_width * spu * 0.5))] * n
+        gaps[-1] = int(dev.reset_limit * spu * 1.5) + 10
+        out.append((pulses, gaps))
+    return out
+
+
+def _host_events(pulses, gaps, dev):
+    pd = PulseData(sample_rate=RATE)
+    pd.pulse = list(pulses)
+    pd.gap = list(gaps)
+    return slicers.slicer_ppm(pd, dev)
+
+
+def test_ppm_kernel_matches_python():
+    rng = np.random.default_rng(31)
+    devs = _ppm_devices()
+    trains = _trains(devs, 24, rng)
+    N = max(len(p) for p, g in trains)
+    B = len(trains)
+    pulse = np.zeros((B, N), np.int32)
+    gap = np.zeros((B, N), np.int32)
+    n_pulses = np.zeros((B,), np.int32)
+    for i, (p, g) in enumerate(trains):
+        pulse[i, :len(p)] = p
+        gap[i, :len(g)] = g
+        n_pulses[i] = len(p)
+    bounds = ppm_bounds(devs, RATE)
+    out = {k: np.asarray(v) for k, v in
+           slice_ppm(pulse, gap, n_pulses, bounds, CAPS).items()}
+
+    checked = skipped = events_seen = 0
+    for b, (p, g) in enumerate(trains):
+        for s, dev in enumerate(devs):
+            if out["ovf"][b, s]:
+                skipped += 1
+                continue
+            want = _host_events(p, g, dev)
+            n_ev = int(out["n_events"][b, s])
+            assert n_ev == len(want), (
+                f"train {b} spec {dev.symbol}: {n_ev} != {len(want)} events")
+            for e, bb in enumerate(want):
+                events_seen += 1
+                nr = int(out["num_rows"][b, s, e])
+                assert nr == bb.num_rows, (
+                    f"train {b} {dev.symbol} ev {e}: rows {nr} != "
+                    f"{bb.num_rows}")
+                for r in range(nr):
+                    wb = int(bb.bits_per_row[r])
+                    gb = int(out["bits_per_row"][b, s, e, r])
+                    assert gb == wb, (
+                        f"train {b} {dev.symbol} ev {e} row {r}: "
+                        f"{gb} != {wb} bits")
+                    assert int(out["syncs"][b, s, e, r]) == \
+                        int(bb.syncs_before_row[r])
+                    nby = (wb + 7) // 8
+                    assert out["bytes"][b, s, e, r, :nby].tolist() == \
+                        bb.bb[r][:nby].tolist(), (
+                        f"train {b} {dev.symbol} ev {e} row {r} content")
+            checked += 1
+    assert checked > 100, (checked, skipped)
+    assert events_seen > 50
+
+
+def _pwm_devices(k=10):
+    reg = Registry()
+    devs = [d for d in reg.slots
+            if d is not None and d.modulation == "OOK_PULSE_PWM"
+            and d.decode_fn]
+    tol = [d for d in devs if d.tolerance > 0][: k // 2]
+    sync = [d for d in devs if d.tolerance == 0 and d.sync_width > 0][:3]
+    plain = [d for d in devs if d.tolerance == 0 and d.sync_width == 0]
+    return tol + sync + plain[: k - len(tol) - len(sync)]
+
+
+def _pwm_trains(devs, n_trains, rng):
+    out = []
+    for i in range(n_trains):
+        dev = devs[i % len(devs)]
+        n = int(rng.integers(6, 60))
+        spu = RATE / 1e6
+        pcands = [dev.short_width, dev.long_width, dev.sync_width or 0,
+                  dev.short_width * 0.2, dev.long_width * 2.5]
+        gcands = [dev.short_width, dev.gap_limit * 1.2 or dev.short_width,
+                  dev.reset_limit * 1.2]
+        pulses, gaps = [], []
+        for _ in range(n):
+            p = pcands[int(rng.integers(len(pcands)))]
+            g = gcands[int(rng.integers(len(gcands)))]
+            pulses.append(max(1, int(p * (1 + rng.uniform(-0.15, 0.15))
+                                     * spu)))
+            gaps.append(max(1, int(g * (1 + rng.uniform(-0.15, 0.15))
+                                   * spu)))
+        gaps[-1] = int(dev.reset_limit * spu * 1.5) + 10
+        out.append((pulses, gaps))
+    return out
+
+
+def test_pwm_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import pwm_bounds, slice_pwm
+    rng = np.random.default_rng(77)
+    devs = _pwm_devices()
+    trains = _pwm_trains(devs, 24, rng)
+    N = max(len(p) for p, g in trains)
+    B = len(trains)
+    pulse = np.zeros((B, N), np.int32)
+    gap = np.zeros((B, N), np.int32)
+    n_pulses = np.zeros((B,), np.int32)
+    for i, (p, g) in enumerate(trains):
+        pulse[i, :len(p)] = p
+        gap[i, :len(g)] = g
+        n_pulses[i] = len(p)
+    bounds = pwm_bounds(devs, RATE)
+    out = {k: np.asarray(v) for k, v in
+           slice_pwm(pulse, gap, n_pulses, bounds, CAPS).items()}
+
+    checked = skipped = 0
+    for b, (p, g) in enumerate(trains):
+        for s, dev in enumerate(devs):
+            if out["ovf"][b, s]:
+                skipped += 1
+                continue
+            pd = PulseData(sample_rate=RATE)
+            pd.pulse = list(p)
+            pd.gap = list(g)
+            want = slicers.slicer_pwm(pd, dev)
+            n_ev = int(out["n_events"][b, s])
+            assert n_ev == len(want), (
+                f"train {b} spec {dev.symbol}: {n_ev} != {len(want)}")
+            for e, bb in enumerate(want):
+                nr = int(out["num_rows"][b, s, e])
+                assert nr == bb.num_rows, (
+                    f"train {b} {dev.symbol} ev {e}: {nr} != {bb.num_rows}")
+                for r in range(nr):
+                    wb = int(bb.bits_per_row[r])
+                    assert int(out["bits_per_row"][b, s, e, r]) == wb
+                    assert int(out["syncs"][b, s, e, r]) == \
+                        int(bb.syncs_before_row[r])
+                    nby = (wb + 7) // 8
+                    assert out["bytes"][b, s, e, r, :nby].tolist() == \
+                        bb.bb[r][:nby].tolist()
+            checked += 1
+    assert checked > 100, (checked, skipped)
