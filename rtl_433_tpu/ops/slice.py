@@ -298,3 +298,327 @@ def slice_pwm(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
         (pulse.T.astype(jnp.int32), gap.T.astype(jnp.int32), valid, last))
     ev_f, _row_f, _bir_f, _touched_f, ovf = carry
     return _assemble(ys, ev_f, ovf, SliceCaps(E, R, BY))
+
+
+# ---------------------------------------------------------------------------
+# PCM (RZ / NRZ) — mirrors pulse/slicers.py slicer_pcm (ref pulse_slicer.c:68-259)
+# ---------------------------------------------------------------------------
+
+def pcm_bounds(devices, sample_rate: int):
+    """Per-spec PCM parameters [S] (mirrors pulse/slicers.py slicer_pcm).
+
+    Bit-rate seeds ``f0s``/``f0l`` are computed host-side in float64 and
+    cast to float32; every in-kernel rounding site carries an uncertainty
+    flag wide enough to cover the f32-vs-f64 gap, so unflagged lanes are
+    bit-exact vs the host slicer.
+    """
+    from ..pulse.slicers import _timings
+
+    cols = {k: [] for k in ("short", "long", "reset", "gap_limit", "tol",
+                            "max_zeros", "min_count", "is_rz",
+                            "f0s", "f0l", "ok")}
+
+    class _P:
+        pass
+
+    p = _P()
+    p.sample_rate = sample_rate
+    spu = np.float32(sample_rate) / np.float32(1.0e6)
+    for dev in devices:
+        t = _timings(p, dev)
+        if t is None:
+            for k in cols:
+                cols[k].append(False if k == "ok" else 0)
+            continue
+        s_short, s_long, s_reset = t["short"], t["long"], t["reset"]
+        s_gap, s_tol = t["gap"], t["tolerance"]
+        f0s = 1.0 / float(np.float32(dev.short_width) * spu) \
+            if dev.short_width > 0 else 0.0
+        f0l = 1.0 / float(np.float32(dev.long_width) * spu) \
+            if dev.long_width > 0 else 0.0
+        gap_limit = s_gap if s_gap else s_reset
+        max_zeros = gap_limit // s_long if s_long else 0
+        if s_tol <= 0:
+            s_tol = s_long // 4
+        for k, v in (("short", s_short), ("long", s_long),
+                     ("reset", s_reset), ("gap_limit", gap_limit),
+                     ("tol", s_tol), ("max_zeros", max_zeros),
+                     ("min_count", 12 if s_short == s_long else 4),
+                     ("is_rz", s_short != s_long),
+                     ("f0s", f0s), ("f0l", f0l), ("ok", True)):
+            cols[k].append(v)
+    out = {}
+    for k, v in cols.items():
+        if k in ("f0s", "f0l"):
+            out[k] = np.asarray(v, np.float32)
+        elif k in ("is_rz", "ok"):
+            out[k] = np.asarray(v, bool)
+        else:
+            out[k] = np.asarray(v, np.int32)
+    return out
+
+
+def _trunc05(v):
+    """int(v + 0.5) with Python trunc-toward-zero, plus a boundary flag
+    wide enough to absorb float32-vs-float64 evaluation differences."""
+    x = v + jnp.float32(0.5)
+    n = jnp.trunc(x).astype(jnp.int32)
+    eps = jnp.float32(1e-6) + jnp.abs(x) * jnp.float32(2e-6)
+    near = jnp.abs(x - jnp.round(x)) < eps
+    return n, near
+
+
+def _pcm_rates(pulse, gap, n_pulses, bounds):
+    """Pass 1: preamble bit-rate re-estimation -> per-lane f_short/f_long.
+
+    Mirrors slicer_pcm's four estimators exactly: RZ preamble runs
+    (constant windows), NRZ preamble runs (condition uses the *running*
+    f estimate, so it lives in the scan carry), then the RZ/NRZ
+    anywhere-in-stream fallbacks (order-free masked sums).
+    """
+    B, N = pulse.shape
+    S = bounds["short"].shape[0]
+    sh = bounds["short"][None, :]
+    lo = bounds["long"][None, :]
+    tol = bounds["tol"][None, :]
+    is_rz = bounds["is_rz"][None, :]
+    mc0 = bounds["min_count"][None, :]
+    f0s = jnp.broadcast_to(bounds["f0s"][None, :], (B, S))
+    f0l = jnp.broadcast_to(bounds["f0l"][None, :], (B, S))
+
+    z = jnp.zeros((B, S), jnp.int32)
+    zb = jnp.zeros((B, S), bool)
+
+    def eval_run(cnt, sw, lw, mc, fs, fl, plen):
+        """Run ended: accept when count >= running min_count."""
+        acc = cnt >= mc
+        cntf = cnt.astype(jnp.float32)
+        # RZ: f_long = count/lwidth, f_short = count/swidth
+        fs_rz = jnp.where(sw > 0, cntf / sw.astype(jnp.float32), fs)
+        fl_rz = jnp.where(lw > 0, cntf / lw.astype(jnp.float32), fl)
+        # NRZ: f_short = f_long = count/width (width in sw, count doubled)
+        f_nrz = jnp.where(sw > 0, cntf / sw.astype(jnp.float32), fs)
+        fs2 = jnp.where(acc, jnp.where(is_rz, fs_rz, f_nrz), fs)
+        fl2 = jnp.where(acc, jnp.where(is_rz, fl_rz, f_nrz), fl)
+        mc2 = jnp.where(acc, cnt, mc)
+        plen2 = jnp.where(acc, cnt, plen)
+        return mc2, fs2, fl2, plen2
+
+    def step(carry, xs):
+        cnt, sw, lw, mc, fs, fl, plen, prev_c, flag = carry
+        p, g, valid = xs
+        p = p[:, None].astype(jnp.int32)
+        g = g[:, None].astype(jnp.int32)
+        vm = valid[:, None]
+        # run-membership condition under the *current* carry estimate
+        c_rz = ((p >= sh - tol) & (p <= sh + tol)
+                & (p + g >= lo - tol) & (p + g <= lo + tol))
+        hp, near_p = _trunc05(p.astype(jnp.float32) * fs)
+        hg, near_g = _trunc05(g.astype(jnp.float32) * fl)
+        c_nrz = (hp == 1) & (hg == 1)
+        c = vm & jnp.where(is_rz, c_rz, c_nrz)
+        # a boundary flip only matters where it can toggle the ==1 test
+        flag = flag | (vm & ~is_rz & ((near_p & (hp <= 2))
+                                      | (near_g & (hg <= 2))))
+        # a run that just ended (prev pulse in, this one out) is evaluated
+        # before this pulse is consumed — matching the Python consume-one
+        ended = prev_c & ~c
+        mc, fs, fl, plen = jax.tree.map(
+            lambda a, b: jnp.where(ended, a, b),
+            eval_run(cnt, sw, lw, mc, fs, fl, plen),
+            (mc, fs, fl, plen))
+        # accumulate or reset
+        d_sw = jnp.where(is_rz, p, p + g)     # NRZ width = p+g
+        d_lw = p + g
+        d_cnt = jnp.where(is_rz, 1, 2)
+        cnt = jnp.where(c, cnt + d_cnt, 0)
+        sw = jnp.where(c, sw + d_sw, 0)
+        lw = jnp.where(c, lw + d_lw, 0)
+        return (cnt, sw, lw, mc, fs, fl, plen, c, flag), None
+
+    iot = jnp.arange(N)[:, None]
+    valid = iot < n_pulses[None, :]
+    carry0 = (z, z, z, jnp.broadcast_to(mc0, (B, S)), f0s, f0l, z, zb, zb)
+    (cnt, sw, lw, mc, fs, fl, plen, _prev, flag), _ = lax.scan(
+        step, carry0, (pulse.T, gap.T, valid))
+    # trailing run
+    mc, fs, fl, plen = jax.tree.map(
+        lambda a, b: jnp.where(cnt > 0, a, b),
+        eval_run(cnt, sw, lw, mc, fs, fl, plen), (mc, fs, fl, plen))
+
+    # fallbacks (anywhere-in-stream, order-free)
+    p3 = pulse[:, :, None].astype(jnp.int32)
+    g3 = gap[:, :, None].astype(jnp.int32)
+    vm3 = (jnp.arange(N)[None, :, None] < n_pulses[:, None, None])
+    c_rz3 = vm3 & ((p3 >= sh[:, None] - tol[:, None])
+                   & (p3 <= sh[:, None] + tol[:, None])
+                   & (p3 + g3 >= lo[:, None] - tol[:, None])
+                   & (p3 + g3 <= lo[:, None] + tol[:, None]))
+    rzc = jnp.sum(c_rz3, axis=1)
+    rzs = jnp.sum(jnp.where(c_rz3, p3, 0), axis=1)
+    rzl = jnp.sum(jnp.where(c_rz3, p3 + g3, 0), axis=1)
+    use_rzfb = is_rz & (plen == 0) & (rzc > 8)
+    fs = jnp.where(use_rzfb, rzc / jnp.maximum(rzs, 1).astype(jnp.float32),
+                   fs)
+    fl = jnp.where(use_rzfb, rzc / jnp.maximum(rzl, 1).astype(jnp.float32),
+                   fl)
+    # NRZ fallback: four independent windows, each pulse/gap may add twice
+    w1 = vm3 & (p3 >= sh[:, None] - tol[:, None]) \
+        & (p3 <= sh[:, None] + tol[:, None])
+    w2 = vm3 & (p3 >= 2 * sh[:, None] - tol[:, None]) \
+        & (p3 <= 2 * sh[:, None] + tol[:, None])
+    w3 = vm3 & (g3 >= lo[:, None] - tol[:, None]) \
+        & (g3 <= lo[:, None] + tol[:, None])
+    w4 = vm3 & (g3 >= 2 * lo[:, None] - tol[:, None]) \
+        & (g3 <= 2 * lo[:, None] + tol[:, None])
+    nw = (jnp.sum(jnp.where(w1, p3, 0), axis=1)
+          + jnp.sum(jnp.where(w2, p3, 0), axis=1)
+          + jnp.sum(jnp.where(w3, g3, 0), axis=1)
+          + jnp.sum(jnp.where(w4, g3, 0), axis=1))
+    nc = (jnp.sum(w1, axis=1) + 2 * jnp.sum(w2, axis=1)
+          + jnp.sum(w3, axis=1) + 2 * jnp.sum(w4, axis=1))
+    use_nrzfb = ~is_rz & (plen == 0) & (nc > 20)
+    fnrz = nc / jnp.maximum(nw, 1).astype(jnp.float32)
+    fs = jnp.where(use_nrzfb, fnrz, fs)
+    fl = jnp.where(use_nrzfb, fnrz, fl)
+    return fs, fl, flag
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def slice_pcm(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
+    """Batched PCM slicing: pulse/gap [B, N], bounds dict of [S] arrays.
+
+    Variable bits-per-pulse (``highs`` ones then ``lows`` zeros) are
+    emitted as run descriptors and assembled into packed bytes with a
+    delta-scatter + cumulative-sum pass; ``bitbuffer_clear`` semantics are
+    handled by tagging every run with a segment id and keeping only runs
+    whose segment matches the one recorded at event flush. Lanes whose
+    float32 rounding lands near a boundary (vs the host's float64) raise
+    ``ovf`` and must be delegated to the host slicer.
+    """
+    B, N = pulse.shape
+    S = bounds["short"].shape[0]
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    BITS = BY * 8
+
+    fs, fl, fflag = _pcm_rates(pulse, gap, n_pulses, bounds)
+
+    sh = bounds["short"][None, :]
+    lo = bounds["long"][None, :]
+    rst = bounds["reset"][None, :]
+    gpl = bounds["gap_limit"][None, :]
+    tol = bounds["tol"][None, :]
+    mz = bounds["max_zeros"][None, :]
+    is_rz = bounds["is_rz"][None, :]
+    okm = bounds["ok"][None, :]
+
+    def step(carry, xs):
+        ev, row, bir, frb, seg, ovf = carry
+        p, g, valid, last = xs
+        p = p[:, None].astype(jnp.int32)
+        g = g[:, None].astype(jnp.int32)
+        act = valid[:, None] & okm
+        last = last[:, None]
+        h, near_h = _trunc05(p.astype(jnp.float32) * fs)
+        l0, near_l = _trunc05((g + sh - lo).astype(jnp.float32) * fl)
+        # a lows flip above the max_zeros clamp changes nothing
+        near_l = near_l & (l0 <= mz + 1)
+        h = jnp.where(act, jnp.maximum(h, 0), 0)
+        l = jnp.where(act, jnp.clip(l0, 0, mz), 0)
+        ovf2 = ovf | (act & (near_h | near_l))
+        # bits appended at the current cursor
+        b_ev, b_row, b_start = ev, row, bir
+        bir2 = bir + h + l
+        frb2 = jnp.where(row == 0, frb + h + l, frb)
+        # clear (RZ out-of-class pulse) beats gap row-break
+        do_clear = act & is_rz & (jnp.abs(p - sh) > tol)
+        do_break = act & ~do_clear & (g > gpl) & (g <= rst)
+        seg2 = jnp.where(do_clear, seg + 1, seg)
+        row2 = jnp.where(do_clear, 0, jnp.where(do_break, row + 1, row))
+        bir3 = jnp.where(do_clear | do_break, 0, bir2)
+        frb3 = jnp.where(do_clear, 0, frb2)
+        # flush (post-clear state, matching the Python statement order)
+        flush = act & ((g > rst) | last) & ((frb3 > 0) | (row2 > 0))
+        f_rows = row2 + 1
+        ev2 = jnp.where(flush, ev + 1, ev)
+        row3 = jnp.where(flush, 0, row2)
+        bir4 = jnp.where(flush, 0, bir3)
+        frb4 = jnp.where(flush, 0, frb3)
+        seg3 = jnp.where(flush, 0, seg2)
+        ovf3 = ovf2 | (ev2 >= E) | (jnp.maximum(row2, row) >= R) \
+            | (bir2 >= BITS)
+        ys = (h, l, b_ev, b_row, b_start, seg, flush, ev, f_rows)
+        return (ev2, row3, bir4, frb4, seg3, ovf3), ys
+
+    z = jnp.zeros((B, S), jnp.int32)
+    iot = jnp.arange(N)[:, None]
+    valid = iot < n_pulses[None, :]
+    last = iot == (n_pulses[None, :] - 1)
+    carry, ys = lax.scan(
+        step, (z, z, z, z, z, jnp.zeros((B, S), bool)),
+        (pulse.T, gap.T, valid, last))
+    ev_f, _r, _b, _f, _s, ovf = carry
+    ovf = ovf | fflag
+    (h, l, b_ev, b_row, b_start, seg, flush, f_ev, f_rows) = ys
+
+    # ---- assembly ----
+    L = B * S
+
+    def flat(x):
+        return x.reshape(N, L).T                          # [L, N]
+
+    lane = jnp.arange(L, dtype=jnp.int32)[:, None].repeat(N, 1)
+
+    def scat_add(shape, idx_cols, vals, mask):
+        tgt = [lane] + idx_cols
+        flat_shape = (L,) + shape
+        out = jnp.zeros(flat_shape, jnp.int32)
+        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=tuple(
+                range(len(flat_shape))),
+            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
+        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
+                              vals.reshape(-1), dnums,
+                              mode=lax.GatherScatterMode.FILL_OR_DROP)
+        return out.reshape((B, S) + shape)
+
+    m_flush = flat(flush)
+    # final segment id per (lane, event); -1 for never-flushed events
+    fseg = scat_add((E,), [flat(f_ev)], flat(seg) + 1, m_flush) - 1
+    fseg_flat = fseg.reshape(L, E)
+    # per-pulse validity: its segment must be the flushed one
+    ev_l, seg_l = flat(b_ev), flat(seg)
+    sel = jnp.take_along_axis(fseg_flat, jnp.clip(ev_l, 0, E - 1), axis=1)
+    live = (seg_l == sel) & (ev_l < E)
+    m_bits = live & (flat(h) + flat(l) > 0)
+    # ones runs -> +1/-1 deltas -> cumsum -> packed bytes
+    hl, sl = flat(h), flat(b_start)
+    m_ones = live & (hl > 0)
+    dn = lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=(0, 1, 2, 3),
+        scatter_dims_to_operand_dims=(0, 1, 2, 3))
+    delta = jnp.zeros((L, E, R, BITS + 1), jnp.int8)
+    idx_a = jnp.stack([jnp.where(m_ones, c, _BIG) for c in
+                       (lane, ev_l, flat(b_row), jnp.clip(sl, 0, BITS))],
+                      axis=-1)
+    idx_b = jnp.stack([jnp.where(m_ones, c, _BIG) for c in
+                       (lane, ev_l, flat(b_row),
+                        jnp.clip(sl + hl, 0, BITS))], axis=-1)
+    ones_v = jnp.ones((L * N,), jnp.int8)
+    delta = lax.scatter_add(delta, idx_a.reshape(-1, 4), ones_v, dn,
+                            mode=lax.GatherScatterMode.FILL_OR_DROP)
+    delta = lax.scatter_add(delta, idx_b.reshape(-1, 4), -ones_v, dn,
+                            mode=lax.GatherScatterMode.FILL_OR_DROP)
+    ind = (jnp.cumsum(delta, axis=-1,
+                      dtype=jnp.int8)[..., :BITS] > 0).astype(jnp.uint8)
+    w = (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8)))
+    bytes_ = (ind.reshape(L, E, R, BY, 8) * w).sum(-1).astype(jnp.uint8)
+    bytes_ = bytes_.reshape(B, S, E, R, BY)
+
+    bits_per_row = scat_add((E, R), [ev_l, flat(b_row)],
+                            flat(h) + flat(l), m_bits)
+    num_rows = scat_add((E,), [flat(f_ev)], flat(f_rows), m_flush)
+    syncs = jnp.zeros((B, S, E, R), jnp.int32)
+    return {"bytes": bytes_, "bits_per_row": bits_per_row, "syncs": syncs,
+            "num_rows": num_rows, "n_events": ev_f, "ovf": ovf}

@@ -184,3 +184,98 @@ def test_pwm_kernel_matches_python():
                         bb.bb[r][:nby].tolist()
             checked += 1
     assert checked > 100, (checked, skipped)
+
+
+def _pcm_devices(k=12):
+    reg = Registry()
+    devs = [d for d in reg.slots
+            if d is not None and d.decode_fn
+            and d.modulation in ("OOK_PULSE_PCM", "FSK_PULSE_PCM",
+                                 "OOK_PULSE_RZ")]
+    rz = [d for d in devs if d.short_width != d.long_width][: k // 2]
+    nrz = [d for d in devs if d.short_width == d.long_width][: k - len(rz)]
+    return rz + nrz
+
+
+def _pcm_trains(devs, n_trains, rng):
+    """Bit-period-clustered trains incl. preamble-like runs so the rate
+    re-estimation paths (RZ/NRZ preamble + fallbacks) all fire."""
+    out = []
+    for i in range(n_trains):
+        dev = devs[i % len(devs)]
+        spu = RATE / 1e6
+        s = max(1, int(dev.short_width * spu))
+        lg = max(1, int(dev.long_width * spu))
+        rst = max(2, int(dev.reset_limit * spu))
+        pulses, gaps = [], []
+        # preamble run: exact short pulses at the long period
+        n_pre = int(rng.integers(0, 20))
+        for _ in range(n_pre):
+            pulses.append(s)
+            gaps.append(max(1, lg - s))
+        n = int(rng.integers(4, 40))
+        for _ in range(n):
+            k = int(rng.integers(1, 4))
+            p = int(s * k * (1 + rng.uniform(-0.1, 0.1)))
+            kg = int(rng.integers(1, 5))
+            g = int(lg * kg * (1 + rng.uniform(-0.1, 0.1)))
+            if rng.uniform() < 0.1:
+                g = rst + int(rng.integers(1, rst))       # mid-train EOP
+            pulses.append(max(1, p))
+            gaps.append(max(1, g))
+        gaps[-1] = rst * 2 + 10
+        out.append((pulses, gaps))
+    return out
+
+
+def test_pcm_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import pcm_bounds, slice_pcm
+    rng = np.random.default_rng(123)
+    devs = _pcm_devices()
+    trains = _pcm_trains(devs, 24, rng)
+    N = max(len(p) for p, g in trains)
+    B = len(trains)
+    pulse = np.zeros((B, N), np.int32)
+    gap = np.zeros((B, N), np.int32)
+    n_pulses = np.zeros((B,), np.int32)
+    for i, (p, g) in enumerate(trains):
+        pulse[i, :len(p)] = p
+        gap[i, :len(g)] = g
+        n_pulses[i] = len(p)
+    bounds = pcm_bounds(devs, RATE)
+    caps = SliceCaps(events=4, rows=16, row_bytes=24)
+    out = {k: np.asarray(v) for k, v in
+           slice_pcm(pulse, gap, n_pulses, bounds, caps).items()}
+
+    checked = skipped = events_seen = 0
+    for b, (p, g) in enumerate(trains):
+        for s, dev in enumerate(devs):
+            if out["ovf"][b, s]:
+                skipped += 1
+                continue
+            pd = PulseData(sample_rate=RATE)
+            pd.pulse = list(p)
+            pd.gap = list(g)
+            want = slicers.slicer_pcm(pd, dev)
+            n_ev = int(out["n_events"][b, s])
+            assert n_ev == len(want), (
+                f"train {b} spec {dev.symbol}: {n_ev} != {len(want)}")
+            for e, bb in enumerate(want):
+                events_seen += 1
+                nr = int(out["num_rows"][b, s, e])
+                assert nr == bb.num_rows, (
+                    f"train {b} {dev.symbol} ev {e}: rows {nr} != "
+                    f"{bb.num_rows}")
+                for r in range(nr):
+                    wb = int(bb.bits_per_row[r])
+                    gb = int(out["bits_per_row"][b, s, e, r])
+                    assert gb == wb, (
+                        f"train {b} {dev.symbol} ev {e} row {r}: "
+                        f"{gb} != {wb} bits")
+                    nby = (wb + 7) // 8
+                    assert out["bytes"][b, s, e, r, :nby].tolist() == \
+                        bb.bb[r][:nby].tolist(), (
+                        f"train {b} {dev.symbol} ev {e} row {r} content")
+            checked += 1
+    assert checked > 100, (checked, skipped)
+    assert events_seen > 40, events_seen
