@@ -9,6 +9,7 @@ to events (ref src/r_flow.c:104-372, src/r_api.c:632-839).
 from __future__ import annotations
 
 import functools
+import os
 import time as _time
 from typing import List, Optional
 
@@ -69,7 +70,8 @@ class RtlTpu:
                  squelch: bool = False,
                  report_noise: int = 0,
                  auto_level: int = 0,
-                 verbosity: int = 0):
+                 verbosity: int = 0,
+                 device_slice: bool = False):
         self.verbosity = verbosity
         self.analyze = analyze
         self.sample_rate = int(sample_rate)
@@ -83,6 +85,8 @@ class RtlTpu:
         self.channels = channels
 
         self.registry = Registry()
+        if device_slice or os.environ.get("TPU433_DEVICE_SLICE") == "1":
+            self.registry.device_slice = True
         if register_all:
             self.registry.register_all()
         self.events: List[Event] = []
@@ -238,6 +242,11 @@ class RtlTpu:
         pkgs, self._state = take_packages(self._state)
         events = 0
         self.frames_count += 1
+        if self.registry.device_slice and pkgs:
+            # one batched kernel pass slices every new train in this drain
+            self.registry.prewarm_trains(
+                [(pkg["type"] == PKG_FSK, pkg["pulse"], pkg["gap"])
+                 for pkg in pkgs], self.sample_rate)
         for pkg in pkgs:
             events += self._handle_package(pkg, N)
         if events:

@@ -20,7 +20,7 @@ Mirrors the rtl_433 flags where meaningful for the TPU framework
   -X <spec>      add a flex general-purpose decoder (same grammar as rtl_433)
   -Y <mode>      FSK detector: auto|classic|minmax[,ampest|magest]
                  [,level=<dB>][,minlevel=<dB>][,minsnr=<dB>][,squelch]
-                 [,autolevel[=N]]
+                 [,autolevel[=N]][,deviceslice]
   -A             pulse analyzer hints for detected packages
   -a             (deprecated in the reference; accepted, no-op)
 
@@ -185,6 +185,10 @@ def main(argv=None):
                     # autolevel or autolevel=N (ref src/rtl_433.c:944-946)
                     y_opts["auto_level"] = (int(part[10:])
                                             if part[9:10] == "=" else 1)
+                elif part == "deviceslice":
+                    # batch (package, spec) slicing on the accelerator
+                    # (decoders/device_dispatch.py; no reference analogue)
+                    y_opts["device_slice"] = True
         elif a == "-C":
             convert = val()
         elif a == "-M":

@@ -140,6 +140,11 @@ class Registry:
         # _build_train_memo)
         self._train_cache: dict = {}
         self.train_cache_max = 4096
+        # opt-in device-kernel slicing (decoders/device_dispatch.py):
+        # prewarm_trains() batch-slices a drain's packages on the
+        # accelerator and pre-fills the train-memo cache
+        self.device_slice = False
+        self._device_banks: dict = {}
 
     def __len__(self):
         return sum(1 for d in self.slots if d is not None)
@@ -188,7 +193,7 @@ class Registry:
         per-decoder Python slicers otherwise. Both produce identical events
         in identical order (tests/test_native_slicers.py).
         """
-        if self._use_native():
+        if self._use_native() or self.device_slice:
             try:
                 return self._run_fast(pulses, want_fsk, event_cb)
             except RuntimeError:
@@ -222,6 +227,60 @@ class Registry:
                 break
             priority = next_priority
         return p_events
+
+    def _get_device_bank(self, want_fsk: bool, sample_rate: int):
+        from .device_dispatch import DeviceBank
+        key = (want_fsk, sample_rate, self._version)
+        bank = self._device_banks.get(key)
+        if bank is None:
+            devs = [d for d in self.active if d.is_fsk == want_fsk]
+            bank = DeviceBank(devs, sample_rate)
+            self._device_banks = {k: v for k, v in self._device_banks.items()
+                                  if k[2] == self._version}
+            self._device_banks[key] = bank
+        return bank
+
+    def prewarm_trains(self, trains, sample_rate: int) -> int:
+        """Batch device-kernel slicing for a drain's packages (opt-in).
+
+        ``trains`` is an iterable of (want_fsk, pulse, gap). Every train
+        not in the memo cache is sliced on the accelerator in one batched
+        kernel call per (side, spec family) and its dispatch memo is
+        pre-filled, so the per-package _run_fast path does no host slicing.
+        Returns the number of memos built.
+        """
+        import numpy as np
+        if not self.device_slice:
+            return 0
+        if self._dec_cache_version != self._version:
+            self._dec_cache = {}
+            self._train_cache = {}
+            self._dec_cache_version = self._version
+        miss = {False: {}, True: {}}
+        for want_fsk, pulse, gap in trains:
+            p = np.asarray(pulse, np.int32)
+            g = np.asarray(gap, np.int32)
+            tkey = (bool(want_fsk), sample_rate, p.tobytes(), g.tobytes())
+            if tkey not in self._train_cache:
+                miss[bool(want_fsk)].setdefault(tkey, (p, g))
+        built = 0
+        for want_fsk, items in miss.items():
+            if not items:
+                continue
+            bank = self._get_device_bank(want_fsk, sample_rate)
+            meta = self._bank_meta(bank)
+            results = bank.batch_slice(list(items.values()))
+            for tkey, (summary, records) in zip(items.keys(), results):
+                if len(summary) == 0:
+                    memo = {"records": {}, "mats": {}, "priorities": []}
+                else:
+                    memo = self._memo_plans(bank.devices, meta, summary,
+                                            records)
+                if len(self._train_cache) >= self.train_cache_max:
+                    self._train_cache.clear()
+                self._train_cache[tkey] = memo
+                built += 1
+        return built
 
     def _get_bank(self, want_fsk: bool, sample_rate: int):
         from ..pulse import native_slicers
@@ -279,13 +338,27 @@ class Registry:
         as ``fail_mic``.
         """
         import numpy as np
-        from .mic_gates import MIC_GATES, gate_bits
-        from ..pulse.native_slicers import materialize_bytes
 
         devs = bank.devices
         summary, _ = bank.slice(pulse, gap)
         if len(summary) == 0:
             return {"records": {}, "mats": {}, "priorities": []}
+        records = {}
+        for off in np.unique(summary[:, 1]).tolist():
+            records[off] = bank.record_bytes(off)
+        return self._memo_plans(devs, meta, summary, records)
+
+    def _memo_plans(self, devs, meta, summary, records):
+        """Gate + dedup + plan a sliced summary into a train memo.
+
+        ``summary`` rows are [spec, record_off, rows, max_bits] ordered by
+        spec then temporal emission (the native bank contract — the device
+        kernel bank synthesizes the same shape); ``records`` maps offset to
+        the serialized record bytes.
+        """
+        import numpy as np
+        from .mic_gates import MIC_GATES, gate_bits
+        from ..pulse.native_slicers import materialize_bytes
 
         # summary is ordered by spec index (= active-device order within
         # this modulation side) then temporal emission order
@@ -294,10 +367,6 @@ class Registry:
                  | (summary[:, 3] < meta["min_bits"][spec_col])
                  | (summary[:, 2] > meta["max_rows"][spec_col]))
         prio_col = meta["priority"][spec_col]
-
-        records = {}
-        for off in np.unique(summary[:, 1]).tolist():
-            records[off] = bank.record_bytes(off)
 
         mats = {}
         plans = []

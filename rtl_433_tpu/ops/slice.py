@@ -622,3 +622,155 @@ def slice_pcm(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
     syncs = jnp.zeros((B, S, E, R), jnp.int32)
     return {"bytes": bytes_, "bits_per_row": bits_per_row, "syncs": syncs,
             "num_rows": num_rows, "n_events": ev_f, "ovf": ovf}
+
+
+# ---------------------------------------------------------------------------
+# Manchester zerobit — mirrors pulse/slicers.py slicer_manchester_zerobit
+# (ref src/pulse_slicer.c:451-527)
+# ---------------------------------------------------------------------------
+
+def mc_bounds(devices, sample_rate: int):
+    """Per-spec MC-zerobit windows [S]. All comparisons are integer
+    (`x > 1.5*s` is evaluated as `2x > 3s`), so the kernel is exact with
+    no float-boundary fallback."""
+    from ..pulse.slicers import _timings
+
+    cols = {k: [] for k in ("short", "reset", "tol", "has_tol", "ok")}
+
+    class _P:
+        pass
+
+    p = _P()
+    p.sample_rate = sample_rate
+    for dev in devices:
+        t = _timings(p, dev)
+        if t is None:
+            for k in cols:
+                cols[k].append(False if k in ("ok", "has_tol") else 0)
+            continue
+        for k, v in (("short", t["short"]), ("reset", t["reset"]),
+                     ("tol", t["tolerance"]),
+                     ("has_tol", t["tolerance"] > 0), ("ok", True)):
+            cols[k].append(v)
+    return {k: np.asarray(v, bool if k in ("ok", "has_tol") else np.int32)
+            for k, v in cols.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def slice_mc(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
+    """Batched Manchester-zerobit slicing: pulse/gap [B, N].
+
+    Every buffer starts with a hardcoded 0 bit; up to three bits are
+    emitted per pulse (sync-resync 1, post-row 0, mid-bit 1/0), modeled as
+    three masked emission channels concatenated for one scatter pass.
+    """
+    B, N = pulse.shape
+    S = bounds["short"].shape[0]
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    BITS = BY * 8
+    sh = bounds["short"][None, :]
+    rst = bounds["reset"][None, :]
+    tol = bounds["tol"][None, :]
+    has_tol = bounds["has_tol"][None, :]
+    okm = bounds["ok"][None, :]
+
+    def step(carry, xs):
+        ev, row, bir, tsl, ovf = carry
+        p, g, valid, last = xs
+        p = p[:, None].astype(jnp.int32)
+        g = g[:, None].astype(jnp.int32)
+        act = valid[:, None] & okm
+        last = last[:, None]
+        out = act & has_tol & ((p < sh - tol) | (p > 2 * sh + tol)
+                               | (g < sh - tol) | (g > 2 * sh + tol))
+        # channel 1: a 1 bit at the current cursor — either the resync
+        # long-pulse 1 or the in-class mid-bit 1
+        c1_out = out & (2 * p > 3 * sh) & (p <= 2 * sh + tol)
+        c1_mid = act & ~out & (2 * (p + tsl) > 3 * sh)
+        c1 = c1_out | c1_mid
+        e1_ev, e1_row, e1_bir = ev, row, bir
+        bir2 = jnp.where(c1, bir + 1, bir)
+        # row break + leading 0 of the new row (channel 2)
+        row2 = jnp.where(out, row + 1, row)
+        c2 = out
+        e2_ev, e2_row = ev, row2
+        bir3 = jnp.where(out, 1, bir2)
+        tsl2 = jnp.where(out | c1_mid, 0, tsl + p)
+        # gap side: flush, else mid-bit 0 (channel 3)
+        flush = act & ((g > rst) | last)
+        f_rows = row2 + 1
+        c3 = act & ~flush & (2 * (g + tsl2) > 3 * sh)
+        e3_ev, e3_row, e3_bir = ev, row2, bir3
+        bir4 = jnp.where(c3, bir3 + 1, bir3)
+        tsl3 = jnp.where(flush | c3, 0, tsl2 + g)
+        # flush: next event starts with the hardcoded 0 (channel 4: counts
+        # toward bits_per_row only — the bit value is 0)
+        ev2 = jnp.where(flush, ev + 1, ev)
+        row3 = jnp.where(flush, 0, row2)
+        bir5 = jnp.where(flush, 1, bir4)
+        ovf2 = ovf | (row2 >= R) | (bir4 > BITS) | (jnp.maximum(bir2, 1) > BITS) \
+            | (flush & (ev2 >= E))
+        ys = (c1, e1_ev, e1_row, e1_bir,
+              c2, e2_ev, e2_row,
+              c3, e3_ev, e3_row, e3_bir,
+              flush, ev, f_rows, ev2)
+        return (ev2, row3, bir5, tsl3, ovf2), ys
+
+    z = jnp.zeros((B, S), jnp.int32)
+    one = jnp.ones((B, S), jnp.int32)
+    iot = jnp.arange(N)[:, None]
+    valid = iot < n_pulses[None, :]
+    last = iot == (n_pulses[None, :] - 1)
+    carry, ys = lax.scan(
+        step, (z, z, one, z, jnp.zeros((B, S), bool)),
+        (pulse.T, gap.T, valid, last))
+    ev_f, _row, _bir, _tsl, ovf = carry
+    (c1, e1e, e1r, e1b, c2, e2e, e2r, c3, e3e, e3r, e3b,
+     flush, f_ev, f_rows, ev_after) = ys
+
+    L = B * S
+
+    def flat(x):
+        return x.reshape(N, L).T
+
+    def cat(*xs):
+        return jnp.concatenate([flat(x) for x in xs], axis=1)  # [L, kN]
+
+    lane_k = jnp.arange(L, dtype=jnp.int32)[:, None]
+
+    def scat(shape, idx_cols, vals, mask):
+        k = mask.shape[1]
+        tgt = [jnp.broadcast_to(lane_k, (L, k))] + idx_cols
+        flat_shape = (L,) + shape
+        out = jnp.zeros(flat_shape, jnp.int32)
+        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=tuple(
+                range(len(flat_shape))),
+            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
+        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
+                              vals.reshape(-1), dnums,
+                              mode=lax.GatherScatterMode.FILL_OR_DROP)
+        return out.reshape((B, S) + shape)
+
+    zero_n = jnp.zeros_like(e1b)
+    m_all = cat(c1, c2, c3, flush)            # flush slot = next ev's lead 0
+    ev_all = cat(e1e, e2e, e3e, ev_after)
+    row_all = cat(e1r, e2r, e3r, jnp.zeros_like(e1r))
+    bir_all = cat(e1b, zero_n, e3b, jnp.zeros_like(e1b))
+    ones_all = jnp.ones_like(ev_all)
+    bits_per_row = scat((E, R), [ev_all, row_all], ones_all, m_all)
+    # event 0's hardcoded leading 0
+    lead = jnp.zeros((B, S, E, R), jnp.int32)
+    lead = lead.at[:, :, 0, 0].set(jnp.where(okm, 1, 0))
+    bits_per_row = bits_per_row + lead
+    # byte content: only channel-1 bits are ones
+    m1 = flat(c1)
+    bytes_ = scat((E, R, BY), [flat(e1e), flat(e1r), flat(e1b) // 8],
+                  (jnp.ones_like(m1, jnp.int32) << (7 - flat(e1b) % 8)),
+                  m1)
+    num_rows = scat((E,), [flat(f_ev)], flat(f_rows), flat(flush))
+    syncs = jnp.zeros((B, S, E, R), jnp.int32)
+    return {"bytes": bytes_.astype(jnp.uint8), "bits_per_row": bits_per_row,
+            "syncs": syncs, "num_rows": num_rows, "n_events": ev_f,
+            "ovf": ovf}

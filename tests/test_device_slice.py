@@ -279,3 +279,84 @@ def test_pcm_kernel_matches_python():
             checked += 1
     assert checked > 100, (checked, skipped)
     assert events_seen > 40, events_seen
+
+
+def _mc_devices(k=10):
+    reg = Registry()
+    devs = [d for d in reg.slots
+            if d is not None and d.decode_fn
+            and d.modulation in ("OOK_PULSE_MANCHESTER_ZEROBIT",
+                                 "FSK_PULSE_MANCHESTER_ZEROBIT")]
+    tol = [d for d in devs if d.tolerance > 0][: k // 2]
+    notol = [d for d in devs if d.tolerance == 0][: k - len(tol)]
+    return tol + notol
+
+
+def _mc_trains(devs, n_trains, rng):
+    out = []
+    for i in range(n_trains):
+        dev = devs[i % len(devs)]
+        spu = RATE / 1e6
+        s = max(1, int(dev.short_width * spu))
+        rst = max(2, int(dev.reset_limit * spu))
+        n = int(rng.integers(6, 60))
+        pulses, gaps = [], []
+        for _ in range(n):
+            kp = [1, 1, 2, 2, 3][int(rng.integers(5))]
+            kg = [1, 1, 2, 2, 4][int(rng.integers(5))]
+            pulses.append(max(1, int(s * kp * (1 + rng.uniform(-0.2, 0.2)))))
+            g = max(1, int(s * kg * (1 + rng.uniform(-0.2, 0.2))))
+            if rng.uniform() < 0.06:
+                g = rst + int(rng.integers(1, rst))
+            gaps.append(g)
+        gaps[-1] = rst * 2 + 10
+        out.append((pulses, gaps))
+    return out
+
+
+def test_mc_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import mc_bounds, slice_mc
+    rng = np.random.default_rng(55)
+    devs = _mc_devices()
+    trains = _mc_trains(devs, 24, rng)
+    N = max(len(p) for p, g in trains)
+    B = len(trains)
+    pulse = np.zeros((B, N), np.int32)
+    gap = np.zeros((B, N), np.int32)
+    n_pulses = np.zeros((B,), np.int32)
+    for i, (p, g) in enumerate(trains):
+        pulse[i, :len(p)] = p
+        gap[i, :len(g)] = g
+        n_pulses[i] = len(p)
+    bounds = mc_bounds(devs, RATE)
+    caps = SliceCaps(events=8, rows=24, row_bytes=20)
+    out = {k: np.asarray(v) for k, v in
+           slice_mc(pulse, gap, n_pulses, bounds, caps).items()}
+
+    checked = skipped = 0
+    for b, (p, g) in enumerate(trains):
+        for s, dev in enumerate(devs):
+            if out["ovf"][b, s]:
+                skipped += 1
+                continue
+            pd = PulseData(sample_rate=RATE)
+            pd.pulse = list(p)
+            pd.gap = list(g)
+            want = slicers.slicer_manchester_zerobit(pd, dev)
+            n_ev = int(out["n_events"][b, s])
+            assert n_ev == len(want), (
+                f"train {b} spec {dev.symbol}: {n_ev} != {len(want)}")
+            for e, bb in enumerate(want):
+                nr = int(out["num_rows"][b, s, e])
+                assert nr == bb.num_rows, (
+                    f"train {b} {dev.symbol} ev {e}: {nr} != {bb.num_rows}")
+                for r in range(nr):
+                    wb = int(bb.bits_per_row[r])
+                    assert int(out["bits_per_row"][b, s, e, r]) == wb, (
+                        f"train {b} {dev.symbol} ev {e} row {r} bits")
+                    nby = (wb + 7) // 8
+                    assert out["bytes"][b, s, e, r, :nby].tolist() == \
+                        bb.bb[r][:nby].tolist(), (
+                        f"train {b} {dev.symbol} ev {e} row {r} content")
+            checked += 1
+    assert checked > 100, (checked, skipped)
