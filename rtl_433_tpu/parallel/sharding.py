@@ -234,7 +234,13 @@ class ShardedEngine:
             raise ValueError("ShardedEngine needs registry= for events")
         pool = getattr(self, "_decode_pool", None)
         out = []
-        for pkg in self.take_packages():
+        pkgs = self.take_packages()
+        if self.registry.device_slice and pkgs:
+            # one batched kernel pass slices every new train in this drain
+            self.registry.prewarm_trains(
+                [(pkg["type"] == PKG_FSK, pkg["pulse"], pkg["gap"])
+                 for pkg in pkgs], self.params.sample_rate)
+        for pkg in pkgs:
             pd = PulseData(
                 pulse=pkg["pulse"].tolist(), gap=pkg["gap"].tolist(),
                 sample_rate=self.params.sample_rate,

@@ -181,3 +181,32 @@ def test_serialize_matches_native_records():
             assert host == blobs, f"{devs[s].symbol} record mismatch"
             checked += len(blobs)
     assert checked > 20, checked
+
+
+def test_sharded_engine_device_slice_parity():
+    """ShardedEngine.drain_events with device_slice prewarms the memo
+    cache and yields the identical channel-tagged event stream."""
+    from rtl_433_tpu.decoders import Registry
+    from rtl_433_tpu.output.data_model import event_to_json
+    from rtl_433_tpu.parallel.sharding import ShardedEngine, make_mesh
+    from test_sharding import _params, _nexus_iq
+
+    params = _params()
+    channels, n = 4, 98304
+    iq = np.zeros((channels, n, 2), np.uint8) + 128
+    for c in range(0, channels, 2):
+        iq[c] = _nexus_iq(n, seed=c)
+
+    runs = {}
+    for mode in (False, True):
+        reg = Registry()
+        reg.register_all()
+        reg.device_slice = mode
+        eng = ShardedEngine(params, channels, make_mesh(4), registry=reg)
+        eng.push(iq, flush=True)
+        runs[mode] = [(c, event_to_json(ev))
+                      for c, ev in eng.drain_events()]
+        if mode:
+            assert reg._train_cache, "prewarm did not fill the memo cache"
+    assert runs[True] == runs[False]
+    assert any("Nexus" in e for _, e in runs[True])
