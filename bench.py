@@ -191,6 +191,10 @@ def main():
 
     registry = Registry()
     registry.register_all()
+    if os.environ.get("BENCH_DEVICE_SLICE") == "1":
+        # batch (package, spec) slicing on the accelerator before the
+        # per-package dispatch loop (decoders/device_dispatch.py)
+        registry.device_slice = True
 
     def make_step(p):
         def step_fn(state, iq):
@@ -223,6 +227,10 @@ def main():
 
     def host_decode(comp_np):
         pkgs, _cnt = packages_from_compact(comp_np)
+        if registry.device_slice and pkgs:
+            registry.prewarm_trains(
+                [(p["type"] == PKG_FSK, p["pulse"], p["gap"])
+                 for p in pkgs], params.sample_rate)
         got = 0
         for pkg in pkgs:
             pd = PulseData(
