@@ -30,6 +30,7 @@ _FAM_MODS = {
     "pcm": ("OOK_PULSE_PCM", "OOK_PULSE_RZ", "FSK_PULSE_PCM"),
     "mc": ("OOK_PULSE_MANCHESTER_ZEROBIT",
            "FSK_PULSE_MANCHESTER_ZEROBIT"),
+    "dmc": ("OOK_PULSE_DMC",),
 }
 
 
@@ -67,8 +68,8 @@ class DeviceBank:
 
     def __init__(self, devices, sample_rate: int,
                  pcm_caps=None, ppm_caps=None):
-        from ..ops.slice import (SliceCaps, mc_bounds, pcm_bounds,
-                                 ppm_bounds, pwm_bounds)
+        from ..ops.slice import (SliceCaps, dmc_bounds, mc_bounds,
+                                 pcm_bounds, ppm_bounds, pwm_bounds)
         self.devices = list(devices)
         self.sample_rate = sample_rate
         self.meta = None
@@ -89,7 +90,8 @@ class DeviceBank:
                 ("ppm", ppm_bounds, caps_small),
                 ("pwm", pwm_bounds, caps_small),
                 ("pcm", pcm_bounds, caps_pcm),
-                ("mc", mc_bounds, caps_mc)):
+                ("mc", mc_bounds, caps_mc),
+                ("dmc", dmc_bounds, caps_mc)):
             idx = fam_idx[fam]
             if idx:
                 bounds = builder([self.devices[i] for i in idx],
@@ -145,9 +147,10 @@ class DeviceBank:
         list (per train) of (summary int32[k,4], records {off: bytes}) in
         the native bank's layout/order contract.
         """
-        from ..ops.slice import slice_mc, slice_pcm, slice_ppm, slice_pwm
+        from ..ops.slice import (slice_dmc, slice_mc, slice_pcm, slice_ppm,
+                                 slice_pwm)
         kernels = {"ppm": slice_ppm, "pwm": slice_pwm, "pcm": slice_pcm,
-                   "mc": slice_mc}
+                   "mc": slice_mc, "dmc": slice_dmc}
 
         B = len(trains)
         if B == 0:

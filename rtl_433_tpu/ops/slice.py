@@ -774,3 +774,109 @@ def slice_mc(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
     return {"bytes": bytes_.astype(jnp.uint8), "bits_per_row": bits_per_row,
             "syncs": syncs, "num_rows": num_rows, "n_events": ev_f,
             "ovf": ovf}
+
+
+# ---------------------------------------------------------------------------
+# Differential Manchester — mirrors pulse/slicers.py slicer_dmc
+# (ref src/pulse_slicer.c:537-595)
+# ---------------------------------------------------------------------------
+
+def dmc_bounds(devices, sample_rate: int):
+    """Per-spec DMC windows [S]; all comparisons are integer-exact."""
+    from ..pulse.slicers import _timings
+
+    cols = {k: [] for k in ("short", "long", "reset", "tol", "ok")}
+
+    class _P:
+        pass
+
+    p = _P()
+    p.sample_rate = sample_rate
+    for dev in devices:
+        t = _timings(p, dev)
+        if t is None:
+            for k in cols:
+                cols[k].append(False if k == "ok" else 0)
+            continue
+        for k, v in (("short", t["short"]), ("long", t["long"]),
+                     ("reset", t["reset"]), ("tol", t["tolerance"]),
+                     ("ok", True)):
+            cols[k].append(v)
+    return {k: np.asarray(v, bool if k == "ok" else np.int32)
+            for k, v in cols.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def slice_dmc(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
+    """Batched differential-Manchester slicing over the interleaved
+    pulse/gap SYMBOL axis (2N scan steps).
+
+    The host slicer's data-dependent stride (a short symbol consumes its
+    second half, possibly rewinding on a reset) is modeled by a carried
+    ``pending`` flag: the step after an emitted 1 either swallows an
+    in-tolerance second half, row-breaks on a mistimed one, or falls
+    through to normal processing when the symbol is a reset.
+    """
+    B, N = pulse.shape
+    S = bounds["short"].shape[0]
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    sh = bounds["short"][None, :]
+    lo = bounds["long"][None, :]
+    rst = bounds["reset"][None, :]
+    tol = bounds["tol"][None, :]
+    okm = bounds["ok"][None, :]
+
+    def step(carry, xs):
+        ev, row, bir, pend, has, ovf = carry
+        sym, valid = xs
+        sym = sym[:, None].astype(jnp.int32)
+        act = valid[:, None] & okm
+        # (the host's synthetic 0 symbol after a final half-consumed short
+        # only mutates the dropped unfinished buffer — unobservable)
+        d_short = jnp.abs(sym - sh)
+        in_short = d_short < tol
+        in_long = jnp.abs(sym - lo) < tol
+        is_rst = sym >= rst - tol
+        row_has = jnp.where(bir > 0, True, False)
+        # pending second-half resolution; the host consumes the symbol
+        # unless strictly OUT of tolerance (`> tol`, pulse_slicer.c:560)
+        mist = d_short > tol
+        p_consume = act & pend & ~mist
+        p_fall = act & pend & mist & is_rst
+        p_break = act & pend & mist & ~is_rst & row_has
+        p_done = act & pend & mist & ~is_rst & ~row_has
+        # normal processing (incl. fall-through from a pending reset)
+        norm = act & (~pend | p_fall)
+        n_one = norm & in_short
+        n_zero = norm & ~in_short & in_long
+        n_flush = norm & ~in_short & ~in_long & is_rst & has
+        # emit bit (1 on n_one, 0 on n_zero) at the current cursor
+        isbit = n_one | n_zero
+        b_ev, b_row, b_bir = ev, row, bir
+        bir2 = jnp.where(isbit, bir + 1, bir)
+        has2 = has | isbit
+        # row break from a mistimed second half
+        row2 = jnp.where(p_break, row + 1, row)
+        bir3 = jnp.where(p_break, 0, bir2)
+        # flush
+        f_rows = row2 + 1
+        ev2 = jnp.where(n_flush, ev + 1, ev)
+        row3 = jnp.where(n_flush, 0, row2)
+        bir4 = jnp.where(n_flush, 0, bir3)
+        has3 = jnp.where(n_flush, False, has2)
+        pend2 = act & n_one
+        pend2 = jnp.where(p_consume | p_break | p_done, False, pend2)
+        ovf2 = ovf | (row2 >= R) | (bir2 > BY * 8) | (n_flush & (ev2 >= E))
+        ys = (isbit, n_one.astype(jnp.int32), b_ev, b_row, b_bir,
+              jnp.zeros_like(n_one), ev, row, n_flush, ev, f_rows)
+        return (ev2, row3, bir4, pend2, has3, ovf2), ys
+
+    # interleave pulse/gap into the symbol axis [2N, B]
+    sym = jnp.stack([pulse.T, gap.T], axis=1).reshape(2 * N, B)
+    iot = jnp.arange(2 * N)[:, None]
+    valid = iot < (2 * n_pulses)[None, :]
+    z = jnp.zeros((B, S), jnp.int32)
+    zb = jnp.zeros((B, S), bool)
+    carry, ys = lax.scan(step, (z, z, z, zb, zb, zb), (sym, valid))
+    ev_f, _r, _b, _p, _h, ovf = carry
+    return _assemble(ys, ev_f, ovf, SliceCaps(E, R, BY))

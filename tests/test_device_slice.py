@@ -360,3 +360,74 @@ def test_mc_kernel_matches_python():
                         f"train {b} {dev.symbol} ev {e} row {r} content")
             checked += 1
     assert checked > 100, (checked, skipped)
+
+
+def _dmc_devices():
+    reg = Registry()
+    return [d for d in reg.slots
+            if d is not None and d.decode_fn
+            and d.modulation == "OOK_PULSE_DMC"]
+
+
+def test_dmc_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import dmc_bounds, slice_dmc
+    rng = np.random.default_rng(91)
+    devs = _dmc_devices()
+    assert devs
+    trains = []
+    for i in range(30):
+        dev = devs[i % len(devs)]
+        spu = RATE / 1e6
+        s = max(1, int(dev.short_width * spu))
+        lg = max(1, int(dev.long_width * spu))
+        rst = max(2, int(dev.reset_limit * spu))
+        k = int(rng.integers(6, 60))
+        pulses, gaps = [], []
+        for _ in range(k):
+            pw = [s, s, lg, lg, int(lg * 1.7)][int(rng.integers(5))]
+            gw = [s, s, lg, lg, rst + 5][int(rng.integers(5))]
+            pulses.append(max(1, int(pw * (1 + rng.uniform(-0.08, 0.08)))))
+            gaps.append(max(1, int(gw * (1 + rng.uniform(-0.08, 0.08)))))
+        gaps[-1] = rst * 2 + 10
+        trains.append((pulses, gaps))
+    N = max(len(p) for p, g in trains)
+    B = len(trains)
+    pulse = np.zeros((B, N), np.int32)
+    gap = np.zeros((B, N), np.int32)
+    n_pulses = np.zeros((B,), np.int32)
+    for i, (p, g) in enumerate(trains):
+        pulse[i, :len(p)] = p
+        gap[i, :len(g)] = g
+        n_pulses[i] = len(p)
+    bounds = dmc_bounds(devs, RATE)
+    caps = SliceCaps(events=6, rows=16, row_bytes=20)
+    out = {k: np.asarray(v) for k, v in
+           slice_dmc(pulse, gap, n_pulses, bounds, caps).items()}
+
+    checked = skipped = 0
+    for b, (p, g) in enumerate(trains):
+        for s_i, dev in enumerate(devs):
+            if out["ovf"][b, s_i]:
+                skipped += 1
+                continue
+            pd = PulseData(sample_rate=RATE)
+            pd.pulse = list(p)
+            pd.gap = list(g)
+            want = slicers.slicer_dmc(pd, dev)
+            n_ev = int(out["n_events"][b, s_i])
+            assert n_ev == len(want), (
+                f"train {b} spec {dev.symbol}: {n_ev} != {len(want)}")
+            for e, bb in enumerate(want):
+                nr = int(out["num_rows"][b, s_i, e])
+                assert nr == bb.num_rows, (
+                    f"train {b} {dev.symbol} ev {e}: {nr} != {bb.num_rows}")
+                for r in range(nr):
+                    wb = int(bb.bits_per_row[r])
+                    assert int(out["bits_per_row"][b, s_i, e, r]) == wb, (
+                        f"train {b} {dev.symbol} ev {e} row {r} bits")
+                    nby = (wb + 7) // 8
+                    assert out["bytes"][b, s_i, e, r, :nby].tolist() == \
+                        bb.bb[r][:nby].tolist(), (
+                        f"train {b} {dev.symbol} ev {e} row {r} content")
+            checked += 1
+    assert checked > 60, (checked, skipped)
