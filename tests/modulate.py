@@ -33,10 +33,22 @@ def _ppm(bits, dev):
     else:
         zero, one = s, l
         one_u = g if g else r
+        if l >= one_u:
+            # the one-window is ((s+l)/2, one_u) EXCLUSIVE (sample domain,
+            # pulse_slicer.c:261-337 with tolerance 0): a spec whose long
+            # equals its gap_limit (e.g. thermor) puts the natural render
+            # on the open boundary — aim for the window's upper middle
+            one = ((s + l) / 2 + one_u) / 2
         r_cap = min(r, eop_guard)
         row_gap = (one_u + r_cap) / 2 if one_u < r_cap else (
             (one_u + r) / 2 if one_u < r else None)
     end_gap = r * 1.5 + 1000
+    # when reset exceeds the DETECTOR's end-of-package threshold
+    # (max(10 * max_pulse, 10 ms)), the recorded final gap is truncated
+    # below reset and the slicer classifies it as a spurious bit before
+    # the last-pulse flush; a wide end pulse (PPM ignores pulse widths)
+    # raises the threshold so the final gap really exceeds reset
+    end_pulse = max(pulse, r / 10 * 1.15)
     train = []
     for row in range(bits.num_rows):
         for _ in range(bits.syncs_before_row[row]):
@@ -51,7 +63,7 @@ def _ppm(bits, dev):
             if row_gap is None:
                 return None
             train.append((pulse, row_gap))
-    train.append((pulse, end_gap))
+    train.append((end_pulse, end_gap))
     return train
 
 
@@ -69,15 +81,36 @@ def _pwm(bits, dev):
     eop_guard = max(10 * max(s, l, y), 10_000.0) * 0.9
     row_gap = (g + min(r, eop_guard)) / 2 if 0 < g < min(r, eop_guard) \
         else ((g + r) / 2 if 0 < g < r else None)
+    # PWM cannot transmit an empty row directly: leading empty rows (a
+    # burst like calibeur's "S 21 S 21 S", where the decoder indexes
+    # bb[1], bb[2]) are rendered by duplicating the first non-empty row —
+    # the slicer then reproduces the same populated rows at the same
+    # indices; a single trailing empty row (nice_flor_s's "{52}... {0}")
+    # is a gap row-break followed by a spurious-short terminator pulse
+    # the slicer ignores.
+    rows = list(range(bits.num_rows))
+    trailing_empty = (bits.num_rows >= 2
+                      and bits.bits_per_row[bits.num_rows - 1] == 0)
+    if trailing_empty:
+        rows = rows[:-1]
+    first_full = next((i for i in rows if bits.bits_per_row[i] > 0), None)
+    lead = 0
+    while rows and bits.bits_per_row[rows[0]] == 0:
+        if first_full is None or y <= 0:
+            return None
+        rows[0] = first_full
+        lead += 1
+        if lead > 8:
+            return None
     train = []
-    for row in range(bits.num_rows):
-        for _ in range(bits.syncs_before_row[row]):
+    for k, row in enumerate(rows):
+        for _ in range(bits.syncs_before_row[row] if k >= lead else 1):
             if y <= 0:
-                return None
+                break
             train.append((y, gap))
         for b in _row_str(bits, row):
             train.append((s if b == "1" else l, gap))
-        if row < bits.num_rows - 1:
+        if k < len(rows) - 1:
             if row_gap is not None:
                 train[-1] = (train[-1][0], row_gap)
             elif y > 0:
@@ -88,7 +121,19 @@ def _pwm(bits, dev):
                 return None
     if not train:
         return None
-    train[-1] = (train[-1][0], end_gap)
+    if trailing_empty:
+        spur = (s - t) * 0.5 if t > 0 else 0
+        if spur >= 4 and row_gap is not None:
+            train[-1] = (train[-1][0], row_gap)
+            train.append((spur, end_gap))
+        elif y > 0:
+            # sync after bits opens the empty trailing row
+            train[-1] = (train[-1][0], gap)
+            train.append((y, end_gap))
+        else:
+            return None
+    else:
+        train[-1] = (train[-1][0], end_gap)
     return train
 
 
@@ -125,11 +170,19 @@ def _pcm(bits, dev, head_bits=None):
             rt.append((0.0, lead * l))
         if not rowbits:
             # all-zero row: a sub-short spurious pulse (emits no 1s) whose
-            # following gap zero-fills the row up to the max_zeros cap
+            # following gap zero-fills the row up to the max_zeros cap.
+            # RZ cannot use the spur — an out-of-class pulse CLEARS the
+            # buffer (slicer_pcm) and swallows the row break — so emit an
+            # in-class pulse instead: the row renders as '1'+zeros, which
+            # is the closest transmittable shape (RZ rows cannot start
+            # with 0), and row-count-gated decoders (e.g. atech_ws308
+            # reading bb[1]) never look at the filler row's content
             if bits.num_rows == 1:
                 return None
-            rt.append((s * 0.45, 0.0))
+            rt.append((s * 0.45 if s == l else s, 0.0))
         if s == l:  # NRZ
+            lim = g if g > 0 else r
+            cap_run = int(lim // l) if l > 0 else 0
             while i < n:
                 j = i
                 while j < n and rowbits[j] == "1":
@@ -141,8 +194,19 @@ def _pcm(bits, dev, head_bits=None):
                 zeros = k - j
                 if k >= n:
                     rt.append((ones * s, max(zeros * l, 0)))
-                else:
+                elif is_fsk or cap_run <= 0 or zeros <= cap_run:
                     rt.append((ones * s, zeros * l))
+                else:
+                    # one gap can carry at most gap_limit//long zeros
+                    # before the slicer caps the run / breaks the row
+                    # (slicer_pcm max_zeros): chain sub-short spur
+                    # pulses (highs rounds to 0) carrying the rest
+                    rt.append((ones * s, cap_run * l))
+                    rem = zeros - cap_run
+                    while rem > 0:
+                        c = min(rem, cap_run)
+                        rt.append((s * 0.45, c * l))
+                        rem -= c
                 i = k
         else:  # RZ: pulse=short, bit period=long
             while i < n:
@@ -161,14 +225,75 @@ def _pcm(bits, dev, head_bits=None):
             # when z_t saturates the cap the plain formula already works).
             z_t = n - len(rowbits.rstrip("0")) if rowbits else 0
             cap_z = int(g // l) if l > 0 else 0
-            lo = max(g + l * 0.05, (z_t - 0.45) * l)
-            hi = min(r, (z_t + 0.45) * l)
-            if not is_fsk and s == l and 0 < z_t < cap_z and lo < hi:
-                rt[-1] = (rt[-1][0], (lo + hi) / 2)
-            else:
+            done = False
+            if not is_fsk and s == l and z_t > 0:
+                # pick how many trailing zeros ride the break gap itself
+                # (an exact count z_b needs a gap in ((z_b-.45)l,
+                # (z_b+.45)l) that also row-breaks, i.e. in (g, r]);
+                # spur-chain the excess in <= cap_z chunks per gap
+                for z_b in range(min(z_t, cap_z), -1, -1):
+                    lo = max(g + l * 0.05, (z_b - 0.45) * l)
+                    hi = min(r, (z_b + 0.45) * l)
+                    if lo >= hi:
+                        continue
+                    rem = z_t - z_b
+                    if rem > 0 and cap_z <= 0:
+                        continue
+                    rt[-1] = (rt[-1][0], 0.0)
+                    first = True
+                    while rem > 0:
+                        c = min(rem, cap_z)
+                        if first:
+                            rt[-1] = (rt[-1][0], c * l)
+                            first = False
+                        else:
+                            rt.append((s * 0.45, c * l))
+                        rem -= c
+                    if first:
+                        rt[-1] = (rt[-1][0], (lo + hi) / 2)
+                    else:
+                        rt.append((s * 0.45, (lo + hi) / 2))
+                    done = True
+                    break
+                if not done:
+                    # no break gap emits exactly z_t zeros: accept the
+                    # smallest feasible count above it — the phantom
+                    # zeros land identically in both pipelines and
+                    # repeated-row decoders see consistent rows
+                    for z_b in range(z_t + 1, cap_z + 1):
+                        lo = max(g + l * 0.05, (z_b - 0.45) * l)
+                        hi = min(r, (z_b + 0.45) * l)
+                        if lo < hi:
+                            rt[-1] = (rt[-1][0], (lo + hi) / 2)
+                            done = True
+                            break
+            if not done:
                 rt[-1] = (rt[-1][0], rt[-1][1] + row_gap)
         else:
-            rt[-1] = (rt[-1][0], rt[-1][1] + end_gap)
+            z_t = n - len(rowbits.rstrip("0")) if rowbits else 0
+            lim = g if g > 0 else r
+            cap_z = int(lim // l) if l > 0 else 0
+            done = False
+            if not is_fsk and s == l and l > 0:
+                # the end gap always contributes min(cap_z, round(G/l))
+                # zeros before the flush — chain any excess first
+                z_e = min(cap_z, int(end_gap / l + 0.5))
+                rem = z_t - z_e
+                if rem > 0 and cap_z > 0:
+                    rt[-1] = (rt[-1][0], 0.0)
+                    first = True
+                    while rem > 0:
+                        c = min(rem, cap_z)
+                        if first:
+                            rt[-1] = (rt[-1][0], c * l)
+                            first = False
+                        else:
+                            rt.append((s * 0.45, c * l))
+                        rem -= c
+                    rt.append((s * 0.45, end_gap))
+                    done = True
+            if not done:
+                rt[-1] = (rt[-1][0], rt[-1][1] + end_gap)
         train += rt
     return train
 
