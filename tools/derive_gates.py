@@ -89,17 +89,23 @@ def _is_bpr_sub(node, bits_name):
             and _is_attr(node.value, bits_name, "bits_per_row"))
 
 
-def _guard_constraints(cond, bits_name, frr_vars, row_len_names=()):
+def _guard_constraints(cond, bits_name, frr_vars, row_len_vars=None,
+                       nonneg_names=()):
     """Constraints implied by `if cond: <fail>` => NOT cond is necessary.
 
     Returns list of ('min_rows'|'min_bits'|'max_rows', k) or None if the
     condition involves anything we can't prove is a pure length check.
-    ``row_len_names`` are local variables proven equal to a row bit length.
+    ``row_len_vars`` maps local variables proven equal to a row bit length
+    divided by ``scale`` (e.g. a byte length has scale 8).
+    ``nonneg_names`` are locals proven >= 0 (search positions): a guard
+    `pos + K > bits.bits_per_row[j]` then implies min_bits K.
     """
+    row_len_vars = row_len_vars or {}
     if isinstance(cond, ast.BoolOp) and isinstance(cond.op, ast.Or):
         out = []
         for v in cond.values:
-            c = _guard_constraints(v, bits_name, frr_vars, row_len_names)
+            c = _guard_constraints(v, bits_name, frr_vars, row_len_vars,
+                                   nonneg_names)
             if c is None:
                 return None
             out += c
@@ -113,6 +119,15 @@ def _guard_constraints(cond, bits_name, frr_vars, row_len_names=()):
             and isinstance(op, ast.Lt):
         r_rows, r_bits = frr_vars[lhs.id]
         return [("min_rows", r_rows), ("min_bits", r_bits)]
+    # pos + K > bits.bits_per_row[j]  (pos >= 0)  =>  min_bits K
+    if isinstance(op, (ast.Gt, ast.GtE)) and _is_bpr_sub(rhs, bits_name) \
+            and isinstance(lhs, ast.BinOp) and isinstance(lhs.op, ast.Add):
+        a, b = lhs.left, lhs.right
+        kk = _const_int(b) if _const_int(b) is not None else _const_int(a)
+        nm = a if _const_int(b) is not None else b
+        if kk is not None and isinstance(nm, ast.Name) \
+                and nm.id in nonneg_names:
+            return [("min_bits", kk if isinstance(op, ast.Gt) else kk - 1)]
     if k is None:
         return None
     if _is_attr(lhs, bits_name, "num_rows"):
@@ -127,29 +142,108 @@ def _guard_constraints(cond, bits_name, frr_vars, row_len_names=()):
         if isinstance(op, ast.GtE):
             return [("max_rows", k - 1)]
         return None
-    is_len = _is_bpr_sub(lhs, bits_name) or (
-        isinstance(lhs, ast.Name) and lhs.id in row_len_names)
+    scale = 1
+    is_len = _is_bpr_sub(lhs, bits_name)
+    if not is_len and isinstance(lhs, ast.Name) and lhs.id in row_len_vars:
+        is_len = True
+        scale = row_len_vars[lhs.id]
     if is_len:
         if isinstance(op, ast.Lt):
-            return [("min_bits", k)]
+            return [("min_bits", k * scale)]
         if isinstance(op, ast.LtE):
-            return [("min_bits", k + 1)]
+            return [("min_bits", k * scale + 1)]
         if isinstance(op, ast.NotEq):
-            return [("min_bits", k)]  # upper bound not expressible
+            return [("min_bits", k * scale)]  # upper bound not expressible
         return []  # >-style guards bound above only; no lower constraint
     return None
 
 
+def _track_row_len(st, bits_name, row_len_vars):
+    """Record `x = bits.bits_per_row[...]` / `... // 8` assignments;
+    a reassignment to anything else evicts the stale tracking.
+    Returns True when the statement defined a tracked length variable."""
+    if not isinstance(st, ast.Assign):
+        return False
+    if len(st.targets) != 1 or not isinstance(st.targets[0], ast.Name):
+        for t in st.targets:
+            for n in ast.walk(t):
+                if isinstance(n, ast.Name):
+                    row_len_vars.pop(n.id, None)
+        return False
+    name, v = st.targets[0].id, st.value
+    if _is_bpr_sub(v, bits_name):
+        row_len_vars[name] = 1
+        return True
+    if isinstance(v, ast.BinOp) and isinstance(v.op, ast.FloorDiv) \
+            and _is_bpr_sub(v.left, bits_name):
+        d = _const_int(v.right)
+        if d and d > 0:
+            row_len_vars[name] = d
+            return True
+    row_len_vars.pop(name, None)
+    return False
+
+
+def _nonneg_names(fdef, bits_name):
+    """Locals provably >= 0 throughout: every assignment is a constant
+    >= 0, a bits.search(...) result (>= 0 by contract), or self + a
+    non-negative constant."""
+    cand = {}
+    for n in ast.walk(fdef):
+        if isinstance(n, ast.Assign) and not (
+                len(n.targets) == 1 and isinstance(n.targets[0], ast.Name)):
+            for t in n.targets:           # tuple unpacking: unprovable
+                for sub in ast.walk(t):
+                    if isinstance(sub, ast.Name):
+                        cand[sub.id] = False
+        elif isinstance(n, ast.NamedExpr) and isinstance(n.target, ast.Name):
+            cand[n.target.id] = False
+        elif isinstance(n, ast.For) and not isinstance(n.target, ast.Name):
+            for sub in ast.walk(n.target):
+                if isinstance(sub, ast.Name):
+                    cand[sub.id] = False
+        elif isinstance(n, ast.Assign) and len(n.targets) == 1 \
+                and isinstance(n.targets[0], ast.Name):
+            nm, v = n.targets[0].id, n.value
+            ok = ((_const_int(v) is not None and _const_int(v) >= 0)
+                  or (isinstance(v, ast.Call)
+                      and isinstance(v.func, ast.Attribute)
+                      and v.func.attr == "search"
+                      and isinstance(v.func.value, ast.Name)
+                      and v.func.value.id == bits_name)
+                  or (isinstance(v, ast.BinOp) and isinstance(v.op, ast.Add)
+                      and isinstance(v.left, ast.Name) and v.left.id == nm
+                      and (_const_int(v.right) or -1) >= 0))
+            cand[nm] = cand.get(nm, True) and ok
+        elif isinstance(n, ast.AugAssign) and isinstance(n.target, ast.Name):
+            nm = n.target.id
+            ok = isinstance(n.op, ast.Add) and \
+                (_const_int(n.value) or -1) >= 0
+            cand[nm] = cand.get(nm, True) and ok
+        elif isinstance(n, (ast.For,)) and isinstance(n.target, ast.Name):
+            # loop targets: non-negative only for range(...) iterables
+            nm = n.target.id
+            ok = (isinstance(n.iter, ast.Call)
+                  and isinstance(n.iter.func, ast.Name)
+                  and n.iter.func.id == "range"
+                  and len(n.iter.args) == 1)
+            cand[nm] = cand.get(nm, True) and ok
+    return {nm for nm, ok in cand.items() if ok}
+
+
 def _is_fail_return(body):
-    """Body is a bare `return <non-list>` / `return <Name/Constant>` —
-    i.e. a fail code, never an event list."""
+    """Body is a bare `return <Name/Constant/-Constant>` — i.e. a fail
+    code, never an event list. A `return <Call>` does NOT qualify: a
+    delegated helper may produce events."""
     if len(body) != 1 or not isinstance(body[0], ast.Return):
         return False
     v = body[0].value
-    return not isinstance(v, (ast.List, ast.ListComp)) and v is not None
+    if isinstance(v, (ast.Name, ast.Constant)):
+        return True
+    return isinstance(v, ast.UnaryOp) and isinstance(v.operand, ast.Constant)
 
 
-def derive(fn):
+def derive(fn, depth=0):
     try:
         src = textwrap.dedent(inspect.getsource(fn))
     except (OSError, TypeError):
@@ -164,6 +258,7 @@ def derive(fn):
     bits_name = args[0].arg
     gate = Gate()
     frr_vars = {}
+    row_len_vars = {}
 
     # ---- Rule A: prefix guards
     prefix_ok = True
@@ -179,6 +274,23 @@ def derive(fn):
                     c.func.attr in ("invert",):
                 continue
             prefix_ok = False
+        elif isinstance(st, ast.Return) and depth < 3:
+            # Rule D — pure delegation: `return _helper(bits, ...)` (a
+            # family wrapper); the helper's prefix guards are necessary
+            # for the wrapper regardless of the extra constant args.
+            v = st.value
+            if isinstance(v, ast.Call) and isinstance(v.func, ast.Name) \
+                    and v.args and isinstance(v.args[0], ast.Name) \
+                    and v.args[0].id == bits_name:
+                helper = getattr(fn, "__globals__", {}).get(v.func.id)
+                if helper is not None:
+                    sub = derive(helper, depth + 1)
+                    if sub is not None:
+                        gate.merge_min_rows(sub.min_rows)
+                        gate.merge_min_bits(sub.min_bits)
+                        if sub.max_rows is not None:
+                            gate.merge_max_rows(sub.max_rows)
+            prefix_ok = False
         elif isinstance(st, ast.Assign):
             # r = bits.find_repeated_row(R, K)
             v = st.value
@@ -190,10 +302,12 @@ def derive(fn):
                 if rr is not None and kk is not None:
                     frr_vars[st.targets[0].id] = (rr, kk)
                     continue
+            _track_row_len(st, bits_name, row_len_vars)
             # other assignments are fine as long as they don't hide control
             continue
         elif isinstance(st, ast.If):
-            cons = _guard_constraints(st.test, bits_name, frr_vars)
+            cons = _guard_constraints(st.test, bits_name, frr_vars,
+                                      row_len_vars)
             if cons is not None and _is_fail_return(st.body) and not st.orelse:
                 for kind, k in cons:
                     getattr(gate, "merge_" + kind)(k)
@@ -207,6 +321,10 @@ def derive(fn):
     # ---- Rule B: single row loop with a leading length guard
     if not gate.nontrivial():
         _rule_b(fdef, bits_name, gate)
+
+    # ---- Rule C: search loops guarded by `pos + K > bits_per_row[j]`
+    if not gate.nontrivial():
+        _rule_c(fdef, bits_name, gate)
 
     return gate
 
@@ -236,41 +354,61 @@ def _rule_b(fdef, bits_name, gate):
     if not all(loop_lines[0] <= e.lineno <= loop_lines[1] for e in events):
         return
     # leading guard(s) in the loop body: continue/break on row length
-    row_len_names = set()
+    row_len_vars = {}
     for st in loop.body:
-        if isinstance(st, ast.Assign) and len(st.targets) == 1 and \
-                isinstance(st.targets[0], ast.Name):
-            v = st.value
-            # browlen = bits.bits_per_row[row] // 8 — track bytes*8
-            if isinstance(v, ast.BinOp) and isinstance(v.op, ast.FloorDiv) \
-                    and _is_bpr_sub(v.left, bits_name) \
-                    and _const_int(v.right) == 8:
-                row_len_names.add((st.targets[0].id, 8))
-                continue
-            if _is_bpr_sub(v, bits_name):
-                row_len_names.add((st.targets[0].id, 1))
-                continue
+        if isinstance(st, ast.Assign):
+            _track_row_len(st, bits_name, row_len_vars)
             continue
         if isinstance(st, ast.If) and len(st.body) == 1 and \
                 isinstance(st.body[0], (ast.Continue, ast.Break)) and \
                 not st.orelse:
-            scale_names = {n for n, s in row_len_names}
-            cons = _guard_constraints(st.test, bits_name, {}, scale_names)
+            cons = _guard_constraints(st.test, bits_name, {}, row_len_vars)
             if cons:
                 for kind, k in cons:
-                    if kind != "min_bits":
-                        continue
-                    # scale byte-length variables back to bits
-                    scale = 1
-                    t = st.test
-                    if isinstance(t, ast.Compare) and \
-                            isinstance(t.left, ast.Name):
-                        for n, s in row_len_names:
-                            if n == t.left.id:
-                                scale = s
-                    gate.merge_min_bits(k * scale)
+                    if kind == "min_bits":
+                        gate.merge_min_bits(k)
             continue
         break  # stop at the first non-guard statement
+
+
+def _rule_c(fdef, bits_name, gate):
+    """Search-loop decoders (e.g. a preamble scan): every Event.make sits
+    inside a loop whose leading guard `pos + K > bits.bits_per_row[j]`
+    breaks/returns, with pos provably >= 0 — so any event requires a row
+    of at least K bits."""
+    events = [n for n in ast.walk(fdef)
+              if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+              and n.func.attr == "make"
+              and isinstance(n.func.value, ast.Name)
+              and n.func.value.id == "Event"]
+    if not events:
+        return
+    nonneg = _nonneg_names(fdef, bits_name)
+    for loop in ast.walk(fdef):
+        if not isinstance(loop, (ast.For, ast.While)):
+            continue
+        span = (loop.lineno, max(n.lineno for n in ast.walk(loop)
+                                 if hasattr(n, "lineno")))
+        if not all(span[0] <= e.lineno <= span[1] for e in events):
+            continue
+        # leading statements: assignments, then the length guard
+        for st in loop.body:
+            if isinstance(st, ast.Assign):
+                continue
+            if isinstance(st, ast.If) and not st.orelse and (
+                    (len(st.body) == 1
+                     and isinstance(st.body[0], (ast.Break, ast.Continue)))
+                    or _is_fail_return(st.body)):
+                cons = _guard_constraints(st.test, bits_name, {}, {},
+                                          nonneg)
+                if cons and all(e.lineno > st.lineno for e in events):
+                    for kind, k in cons:
+                        if kind == "min_bits":
+                            gate.merge_min_bits(k)
+                continue
+            break
+        if gate.nontrivial():
+            return
 
 
 def main():
