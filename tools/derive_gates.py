@@ -373,9 +373,11 @@ def _rule_b(fdef, bits_name, gate):
 
 def _rule_c(fdef, bits_name, gate):
     """Search-loop decoders (e.g. a preamble scan): every Event.make sits
-    inside a loop whose leading guard `pos + K > bits.bits_per_row[j]`
-    breaks/returns, with pos provably >= 0 — so any event requires a row
-    of at least K bits."""
+    inside a loop whose leading guard breaks/returns on a failed length
+    check — `pos + K > bits.bits_per_row[j]` (pos provably >= 0) or
+    `start >= bits.bits_per_row[j]` where start is a K-bit search result
+    (not-found returns the row length) — so any event requires a row of
+    at least K bits."""
     events = [n for n in ast.walk(fdef)
               if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
               and n.func.attr == "make"
@@ -392,19 +394,40 @@ def _rule_c(fdef, bits_name, gate):
         if not all(span[0] <= e.lineno <= span[1] for e in events):
             continue
         # leading statements: assignments, then the length guard
+        search_vars = {}
         for st in loop.body:
             if isinstance(st, ast.Assign):
+                # start = bits.search(row, S, pattern, K)
+                if len(st.targets) == 1 \
+                        and isinstance(st.targets[0], ast.Name):
+                    v = st.value
+                    if isinstance(v, ast.Call) \
+                            and _is_attr(v.func, bits_name, "search") \
+                            and len(v.args) == 4 \
+                            and _const_int(v.args[3]) is not None:
+                        search_vars[st.targets[0].id] = \
+                            _const_int(v.args[3])
+                        continue
+                    search_vars.pop(st.targets[0].id, None)
                 continue
             if isinstance(st, ast.If) and not st.orelse and (
                     (len(st.body) == 1
                      and isinstance(st.body[0], (ast.Break, ast.Continue)))
                     or _is_fail_return(st.body)):
-                cons = _guard_constraints(st.test, bits_name, {}, {},
-                                          nonneg)
-                if cons and all(e.lineno > st.lineno for e in events):
-                    for kind, k in cons:
+                if all(e.lineno > st.lineno for e in events):
+                    cons = _guard_constraints(st.test, bits_name, {}, {},
+                                              nonneg)
+                    for kind, k in (cons or []):
                         if kind == "min_bits":
                             gate.merge_min_bits(k)
+                    # start >= bits.bits_per_row[j]: not-found sentinel
+                    t = st.test
+                    if isinstance(t, ast.Compare) and len(t.ops) == 1 \
+                            and isinstance(t.ops[0], (ast.GtE, ast.Gt)) \
+                            and isinstance(t.left, ast.Name) \
+                            and t.left.id in search_vars \
+                            and _is_bpr_sub(t.comparators[0], bits_name):
+                        gate.merge_min_bits(search_vars[t.left.id])
                 continue
             break
         if gate.nontrivial():
