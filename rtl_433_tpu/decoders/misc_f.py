@@ -46,10 +46,14 @@ def marlec_solar(bits, dev):
     crc = util.crc16(bytes(frame[:length + 1]), length + 1, 0x8005, 0xFFFF)
     if ((frame[length + 1] << 8) | frame[length + 2]) != crc:
         return DECODE_FAIL_MIC
+    def _s32(v):
+        return ((v & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+
     is_data = frame[3] == 0x22
     saved_type = frame[25]
-    saved_val = (frame[26] | (frame[27] << 8) | (frame[28] << 16)
-                 | (frame[29] << 24))
+    # import_val/saved_val are C signed ints (ref marlec_solar.c:102-104)
+    saved_val = _s32(frame[26] | (frame[27] << 8) | (frame[28] << 16)
+                     | (frame[29] << 24))
     return [Event.make(
         ("model", "Marlec-Solar"),
         ("boost_time", frame[6], "") if is_data else None,
@@ -58,8 +62,8 @@ def marlec_solar(bits, dev):
         ("battery_low", frame[13], "") if is_data else None,
         ("heating", _s16(frame[17] | (frame[18] << 8)), "")
         if is_data else None,
-        ("import_val", (frame[19] | (frame[20] << 8) | (frame[21] << 16)
-                        | (frame[22] << 24)), "") if is_data else None,
+        ("import_val", _s32(frame[19] | (frame[20] << 8) | (frame[21] << 16)
+                            | (frame[22] << 24)), "") if is_data else None,
         ("saved_today", saved_val, "")
         if is_data and saved_type == 0xCA else None,
         ("saved_yesterday", saved_val, "")

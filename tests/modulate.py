@@ -194,13 +194,14 @@ def _pcm(bits, dev, head_bits=None):
                 zeros = k - j
                 if k >= n:
                     rt.append((ones * s, max(zeros * l, 0)))
-                elif is_fsk or cap_run <= 0 or zeros <= cap_run:
+                elif cap_run <= 0 or zeros <= cap_run:
                     rt.append((ones * s, zeros * l))
                 else:
                     # one gap can carry at most gap_limit//long zeros
                     # before the slicer caps the run / breaks the row
                     # (slicer_pcm max_zeros): chain sub-short spur
-                    # pulses (highs rounds to 0) carrying the rest
+                    # pulses (highs rounds to 0) carrying the rest —
+                    # for FSK the spur is a sub-bit mark tone burst
                     rt.append((ones * s, cap_run * l))
                     rem = zeros - cap_run
                     while rem > 0:
@@ -226,14 +227,16 @@ def _pcm(bits, dev, head_bits=None):
             z_t = n - len(rowbits.rstrip("0")) if rowbits else 0
             cap_z = int(g // l) if l > 0 else 0
             done = False
-            if not is_fsk and s == l and z_t > 0:
+            if not is_fsk and s == l:
                 # pick how many trailing zeros ride the break gap itself
                 # (an exact count z_b needs a gap in ((z_b-.45)l,
-                # (z_b+.45)l) that also row-breaks, i.e. in (g, r]);
+                # (z_b+.45)l) that also row-breaks, i.e. in (g, r]; at
+                # z_b == cap_z the max_zeros cap absorbs any larger gap,
+                # so the window extends to reset);
                 # spur-chain the excess in <= cap_z chunks per gap
                 for z_b in range(min(z_t, cap_z), -1, -1):
                     lo = max(g + l * 0.05, (z_b - 0.45) * l)
-                    hi = min(r, (z_b + 0.45) * l)
+                    hi = r if z_b == cap_z else min(r, (z_b + 0.45) * l)
                     if lo >= hi:
                         continue
                     rem = z_t - z_b
@@ -262,7 +265,7 @@ def _pcm(bits, dev, head_bits=None):
                     # repeated-row decoders see consistent rows
                     for z_b in range(z_t + 1, cap_z + 1):
                         lo = max(g + l * 0.05, (z_b - 0.45) * l)
-                        hi = min(r, (z_b + 0.45) * l)
+                        hi = r if z_b == cap_z else min(r, (z_b + 0.45) * l)
                         if lo < hi:
                             rt[-1] = (rt[-1][0], (lo + hi) / 2)
                             done = True
@@ -402,18 +405,42 @@ def _rzi(bits, dev):
 
 
 def _dmc(bits, dev):
+    """Differential Manchester: a 1 is short+short, a 0 is one long.
+
+    Row breaks inside one event are only expressible after a dangling 1:
+    the slicer (pulse_slicer.c:537-595) adds a row when a 1's second half
+    is mistimed (outside short tolerance, below reset) — so every
+    non-final row must end in '1' (e.g. fordremote's {1}/{9}/{1}/{78}
+    pattern, src/devices/fordremote.c:34-44); rows ending 0 can't break.
+    """
     s, l, r = dev.short_width, dev.long_width, dev.reset_limit
     t = dev.tolerance
     if t <= 0:
         return None
+    # mistimed second half: outside BOTH symbol tolerances, below reset
+    mist = None
+    for cand in (l * 1.5 + t, (max(2 * s, l) + r) / 2, l + 2.5 * t):
+        if abs(cand - s) > t and abs(cand - l) > t and cand < r - t \
+                and cand >= 2:
+            mist = cand
+            break
     widths = []
-    for row in range(bits.num_rows):
-        for b in _row_str(bits, row):
+    rows = [_row_str(bits, i) for i in range(bits.num_rows)]
+    for idx, rowbits in enumerate(rows):
+        last = idx == len(rows) - 1
+        if not last and (not rowbits or rowbits[-1] != "1"
+                         or mist is None):
+            return None
+        for j, b in enumerate(rowbits):
             if b == "1":
-                widths += [s, s]
+                if not last and j == len(rowbits) - 1:
+                    widths += [s, mist]  # dangling 1 -> add_row
+                else:
+                    widths += [s, s]
             else:
                 widths += [l]
-        widths += [r + t + 2000]  # row/message terminator symbol
+        if last:
+            widths += [r + t + 2000]  # message terminator symbol
     # pair alternating pulse/gap
     if len(widths) % 2:
         widths += [r + t + 2000]

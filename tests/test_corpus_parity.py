@@ -27,7 +27,12 @@ from synth import synth_ook, synth_fsk
 
 BIN = "/tmp/rtlbuild/src/rtl_433"
 
-MIN_PARITY_PROTOCOLS = 350
+# 374 of 375 attempted protocols replay bit-identically; the lone
+# remaining NODECODE is ant_antplus: its 1 us bits toggle at up to 1 MHz,
+# above the FM demodulator's low-pass cutoff (sample_rate/10) at any
+# cu8-realistic rate, so no IQ capture can carry it through the reference
+# pipeline either (ref src/baseband.c FM LPF; src/devices/ant_antplus.c)
+MIN_PARITY_PROTOCOLS = 370
 
 
 def _normalize(ev):
@@ -62,7 +67,7 @@ _HEAD_FIT: dict = {}
 # the first tone as the mark, so different decoders want different heads —
 # none for exact-length windows (danfoss), alternating for 0xAA preambles,
 # alternating + copies of the frame's first 16 bits for 0x33/0xCC syncs.
-_FSK_HEADS = ("lock+copy", "lock", "copy", "none", "longlock")
+_FSK_HEADS = ("lock+copy", "lock", "copy", "none", "longlock", "rowlock")
 
 
 def _head_bits(head, bits):
@@ -78,6 +83,14 @@ def _head_bits(head, bits):
     if head == "longlock":
         return lock * 3
     return []
+
+
+# per-protocol transmitter clock offset: some specs are only decodable
+# when the transmitter runs slightly fast — watts_wfht_rf's Manchester
+# bit period (2*460 us) exceeds its own reset_limit (900 us), so a
+# nominal-clock '10' transition gap flushes mid-frame; real devices
+# evidently clock ~5% fast (ref src/devices/watts_wfht_rf.c:142-148)
+_TIME_SCALE = {348: 0.95}
 
 
 def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
@@ -102,6 +115,8 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
     dev = reg.get(num)
     if dev is None:
         return None
+    if time_scale == 1.0:
+        time_scale = _TIME_SCALE.get(num, 1.0)
     bits = None
     prebuilt = False
     if code.upper().replace(" ", "").startswith("AAB"):
@@ -147,8 +162,10 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
         rate = 250_000
     elif dev.short_width >= 12:
         rate = 1_024_000
-    else:
+    elif dev.short_width >= 3:
         rate = 4_096_000
+    else:
+        rate = 8_192_000  # 1 us bits (ANT+) -> ~8 samples/bit
     ook_pcm = (not dev.is_fsk and dev.modulation == "OOK_PULSE_PCM"
                and dev.short_width == dev.long_width and dev.short_width > 0)
 
@@ -171,8 +188,17 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
         # preamble — do the same for PCM where a bit period is defined
         if (dev.short_width == dev.long_width and dev.short_width > 0
                 and bits is not None):
-            for hb in _head_bits(head, bits):
+            for hb in _head_bits("lock" if head == "rowlock" else head,
+                                 bits):
                 seq.append((dev.short_width * time_scale, bool(hb)))
+            if head == "rowlock" and dev.gap_limit > 0 \
+                    and dev.reset_limit > dev.gap_limit:
+                # sacrificial head as its OWN bitbuffer row: a row-break
+                # gap in (gap_limit, reset] isolates the lock bits so
+                # repeated-row decoders (e.g. ced7000 find_repeated_row)
+                # still see their identical frame rows
+                seq.append(((dev.gap_limit + dev.reset_limit) / 2
+                            * time_scale, False))
         for p, g in train[:-1]:
             seq.append((p, True))
             seq.append((g, False))
@@ -180,6 +206,15 @@ def build_corpus_entry(num, code, tmpdir, amp=100, noise=2.0,
         # the final modulator gap is data zeros + the reset end-gap
         end_gap = dev.reset_limit * 1.5 + 1000
         trailing = max(0.0, train[-1][1] - end_gap)
+        if head == "rowlock" and dev.gap_limit > 0 \
+                and dev.reset_limit > dev.gap_limit:
+            # every row break appends min(round(gap/l), max_zeros) zeros;
+            # give the LAST row the same on-carrier space as the interior
+            # row gaps so all frame rows stay bit-identical (repeated-row
+            # decoders compare rows against each other, not the vector)
+            trailing = max(trailing,
+                           (dev.gap_limit + dev.reset_limit) / 2
+                           * time_scale)
         seq.append((train[-1][0], True))
         if trailing > 0:
             seq.append((trailing, False))

@@ -201,6 +201,11 @@ VECTORS = [
     (45, "{287}aaaaaa5ba40a34c8019dfe00000001ea01ae017017701770177017"
          "701668240200719754", 1),                                    # emontx
     (63, "{96}0012344000000000320f93dc", 1),                          # efergy opt
+    # esa: first vector is IQ-replayable — the zerobit slicer hardcodes a
+    # leading 0 (pulse_slicer.c:478) so an on-air 176-bit frame must start
+    # 0; the decoder skips the first 16 header bits (esa.c:98) so the
+    # 0xAAAA-headed variant (second) only exists at the bit level
+    (117, "{176}55558ca2f2173b5f839782a6aed2f61a3d89adfffa24", 1),
     (117, "{176}aaaa8ca2f2173b5f839782a6aed2f61a3d89adfffa24", 1),    # esa
     (154, "{128}16a31eab04115cdb00001ae349005d27", 1),                # scmplus
     (334, "{48}55a501020300", 1),                                     # rfxmeter
@@ -242,6 +247,11 @@ VECTORS = [
     # batch 19: remotes / home automation part 2
     (64, "{390}ff000000000000000000000000000000000000000000000000000000"
          "00000000000000000000ff00000000001234ab0000", 1),            # honda
+    # ford: first vector is IQ-replayable — DMC row breaks need a dangling
+    # 1 (pulse_slicer.c:560-567) so the {9} row ends '1'; the decoder only
+    # checks its first byte (fordremote.c:41). Second is the classic
+    # all-zero {9} shape (bit-level only)
+    (93, "{1}8 {9}0080 {1}8 {78}abcdef00000000420000", 1),
     (93, "{1}8 {9}0000 {1}8 {78}abcdef00000000420000", 1),            # ford
     (94, "{112}ffed3affb9fed3affb9fed3affb9", 1),                     # philips
     (98, "{88}ccccccff00acb2cb2cb2ca", 1),                            # ge color
@@ -430,6 +440,12 @@ VECTORS = [
     (292, "{56}edcbffff194fd3", 1),                                   # wallarge
     (319, "{72}e8ceacfa1ccdaafaa0 {72}e8ceacfa1ccdaafaa0", 1),        # wl-th6r
     (280, "{65}55aaedcbd2e9dbbf8", 1),                                # homelead
+    # rainpoint: first vector is IQ-replayable — NRZ row-break gaps in
+    # (gap_limit, reset] always append exactly round(gap/long)=2 capped
+    # zeros, so a 163-bit row must end '1'+'00' on the air; the decoder
+    # caps rows at 163 bits (rainpoint_hcs012arf.c:65)
+    (276, " ".join(["{163}996695956565a5a559595955a955a6a95555"
+                    "55a58"] * 4), 1),
     (276, " ".join(["{163}996656a9699959a5659555555555596955555"
                     "6a94"] * 4), 1),                                 # rainpoint
     # batch 36: misc E
@@ -440,6 +456,11 @@ VECTORS = [
     (367, "{360}0000d2b9691e41bbb3222791c0d4eda4aed4b0715f2d5d437a9"
           "6142a48b1af42238329f30bc93977b23efb21cf", 1),              # tfa 3307
     # batch 37: misc F
+    # marlec: first vector is IQ-friendly (no zero run > max_zeros=15, so
+    # the NRZ slicer keeps the frame whole); second has realistic all-zero
+    # registers that split any IQ replay on both sides (bit-level only)
+    (188, "{368}aaaad391d39125181f222d343b424950575e656c737a81888f96"
+          "9da4abb2b9ca39300101e3eaf1f8ff060d140dbe", 1),
     (188, "{368}aaaad391d39125000022000005000100000000000000002c0110"
           "2700000000cae80300000000000000000000a30d", 1),                                    # marlec
     (215, "{304}aaaacaca54aaa16e95a38aae2daaaaaaaaaaaaaaaaaaaaaaaaaa"

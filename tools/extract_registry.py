@@ -59,9 +59,14 @@ print(f"{len(defs)} r_device definitions parsed")
 def num(v, default=0.0):
     if v is None:
         return default
-    v = v.strip().rstrip("fF")
+    # strip C float suffixes anywhere in the expression, not just trailing
+    # (e.g. `2000000.0f / (49230 + 49261)` — emontx.c:163)
+    v = re.sub(r"(?<=[0-9.])[fF]\b", "", v.strip())
     try:
-        return float(eval(v, {"__builtins__": {}}, {}))
+        import numpy as np
+        # r_device timing fields are C `float`: round through float32 so
+        # downstream samples_per_us math matches the reference bit-exactly
+        return float(np.float32(eval(v, {"__builtins__": {}}, {})))
     except Exception:
         return default
 
