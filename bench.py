@@ -35,12 +35,23 @@ BASELINE_MSPS = 47.5
 
 _METRIC = "e2e_throughput_signal_dense"
 
+# best completed measurement so far: set as soon as a full timed pass
+# finishes, so a later hang (e.g. the optional flat-arena A/B over a slow
+# tunnel) degrades to the completed number instead of an error line
+_BEST = {}
+
 
 def _fail_soft(err):
     """Emit a parseable JSON line and exit 0 — an environment outage must
-    never erase the round's evidence with a stack trace (VERDICT r2 weak #1)."""
-    print(json.dumps({"metric": _METRIC, "value": None,
-                      "unit": "MS/s/chip", "error": err}), flush=True)
+    never erase the round's evidence with a stack trace (VERDICT r2 weak #1).
+    If a measurement already completed, report IT instead of the error."""
+    if _BEST.get("value"):
+        out = dict(_BEST)
+        out["note"] = f"later stage aborted: {err}"
+        print(json.dumps(out), flush=True)
+    else:
+        print(json.dumps({"metric": _METRIC, "value": None,
+                          "unit": "MS/s/chip", "error": err}), flush=True)
     os._exit(0)
 
 
@@ -260,83 +271,78 @@ def main():
     warm_events = len(events)
     print(f"warmup: {warm_events} events", file=sys.stderr)
 
-    # flat-arena publish A/B: the record->slot scatters cost O(C*log_cap)
-    # updates; flat_pub compacts globally first (engine._drain_block).
-    # Unmeasurable off-TPU, so self-select at bench time: one timed
-    # rotation per variant, keep the faster step.
+    reps = rotations * cycles
+    profile_dir = os.environ.get("BENCH_PROFILE")
+
+    def measure(step_fn, st, tag):
+        """One full timed pass: reps blocks with overlapped host decode."""
+        events.clear()
+        pkgs = 0
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.perf_counter()
+        prev = None
+        for k in range(reps):
+            st, comp = step_fn(st, blocks[k % rotations])
+            if prev is not None:
+                pkgs += host_decode(prev)
+            prev = jax.device_get(comp)
+        pkgs += host_decode(prev)
+        dt = time.perf_counter() - t0
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}",
+                  file=sys.stderr)
+        msps = channels * n * reps / dt / 1e6
+        ev_rate = len(events) / dt
+        # sanity: the pipeline must actually be decoding (2 events per
+        # lacrosse burst, 1 per silvercrest -> ~1.8x bursts), and the
+        # log/package caps must be lossless on this workload
+        n_ovf = int(np.asarray(st["n_ring_ovf"]).sum())
+        n_drop = int(np.asarray(st["n_pkg_drop"]).sum())
+        expect = per_block_bursts * reps * 1.5
+        ok = len(events) >= expect * 0.8 and n_ovf == 0 and n_drop == 0
+        print(f"[{tag}] {dt:.2f}s for {reps} blocks: {msps:.1f} MS/s, "
+              f"{pkgs} pkgs, {len(events)} events ({ev_rate:.0f}/s), "
+              f"ovf={n_ovf}, drop={n_drop}, "
+              f"decode_ok={'yes' if ok else 'LOW'}", file=sys.stderr)
+        return (msps if ok else 0.0), st
+
+    def record(msps, tag):
+        if msps > (_BEST.get("value") or 0.0):
+            _BEST.update({
+                "metric": _METRIC,
+                "value": round(msps, 1),
+                "unit": "MS/s/chip",
+                "vs_baseline": round(msps / BASELINE_MSPS, 2),
+            })
+            print(f"best so far: {msps:.1f} MS/s ({tag})", file=sys.stderr)
+
+    # main measurement FIRST (scatter publish path) so a later optional
+    # stage hanging can never erase the round's number
+    msps, state = measure(jstep, state, "scatter-pub")
+    record(msps, "scatter-pub")
+
+    # flat-arena publish variant: the record->slot scatters cost
+    # O(C*log_cap) updates; flat_pub compacts globally first
+    # (engine._drain_block). Unmeasurable off-TPU, so measure both on
+    # hardware and report the faster pipeline.
     flat_cap = int(os.environ.get("BENCH_FLAT_ARENA", "65536"))
-    flat_mode = os.environ.get("BENCH_FLAT_PUB", "auto")
-    if flat_cap > 0 and flat_mode != "0":
+    if flat_cap > 0 and os.environ.get("BENCH_FLAT_PUB", "auto") != "0":
         try:
             jstep_flat = make_step(params._replace(flat_pub=flat_cap))
-
-            def clock(fn, st):
-                # compile + warm one rotation, then time one rotation
-                for rr in range(rotations):
-                    st, cmp_ = fn(st, blocks[rr])
-                jax.device_get(cmp_)
-                tc = time.perf_counter()
-                for rr in range(rotations):
-                    st, cmp_ = fn(st, blocks[rr])
-                jax.device_get(cmp_)
-                return time.perf_counter() - tc, st
-
-            if flat_mode == "auto":
-                t_scatter, state = clock(jstep, state)
-                t_flat, state = clock(jstep_flat, state)
-                print(f"publish A/B: scatter {t_scatter:.2f}s vs "
-                      f"flat-arena {t_flat:.2f}s per rotation set",
-                      file=sys.stderr)
-                if t_flat < t_scatter:
-                    jstep = jstep_flat
-                    print("using flat-arena publish", file=sys.stderr)
-            else:
-                jstep = jstep_flat
-                print("flat-arena publish forced on", file=sys.stderr)
-        except Exception as e:  # compile/OOM: keep the scatter path
+            for rr in range(rotations):  # compile + warm
+                state, comp = jstep_flat(state, blocks[rr])
+            jax.device_get(comp)
+            msps_f, state = measure(jstep_flat, state, "flat-pub")
+            record(msps_f, "flat-pub")
+        except Exception as e:  # compile/OOM: keep the scatter number
             print(f"flat-arena publish unavailable: {e!r}", file=sys.stderr)
 
-    events.clear()
-    n_pkgs = 0
-    profile_dir = os.environ.get("BENCH_PROFILE")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    prev = None
-    reps = rotations * cycles
-    for k in range(reps):
-        state, comp = jstep(state, blocks[k % rotations])
-        if prev is not None:
-            n_pkgs += host_decode(prev)
-        prev = jax.device_get(comp)
-    n_pkgs += host_decode(prev)
-    dt = time.perf_counter() - t0
-    if profile_dir:
-        jax.profiler.stop_trace()
-        print(f"profiler trace written to {profile_dir}", file=sys.stderr)
-
-    total_samples = channels * n * reps
-    msps = total_samples / dt / 1e6
-    ev_rate = len(events) / dt
-    # sanity: the pipeline must actually be decoding (2 events per lacrosse
-    # burst, 1 per silvercrest -> ~1.8x bursts), and log_cap must be
-    # lossless on this workload
-    n_ovf = int(np.asarray(state["n_ring_ovf"]).sum())
-    n_drop = int(np.asarray(state["n_pkg_drop"]).sum())
-    expect = per_block_bursts * reps * 1.5
-    ok = len(events) >= expect * 0.8 and n_ovf == 0 and n_drop == 0
-    print(f"{dt:.2f}s for {reps} blocks: {msps:.1f} MS/s, "
-          f"{n_pkgs} pkgs, {len(events)} events ({ev_rate:.0f}/s), "
-          f"ovf={n_ovf}, drop={n_drop}, decode_ok={'yes' if ok else 'LOW'}",
-          file=sys.stderr)
-
     watchdog.cancel()
-    print(json.dumps({
-        "metric": _METRIC,
-        "value": round(msps, 1),
-        "unit": "MS/s/chip",
-        "vs_baseline": round(msps / BASELINE_MSPS, 2),
-    }))
+    if not _BEST.get("value"):
+        _fail_soft("no measurement passed the decode sanity check")
+    print(json.dumps(_BEST))
 
 
 if __name__ == "__main__":
