@@ -53,6 +53,21 @@ PANEL = [
     ("efergy_optical",     63, dict(amp=64, noise=3.0, seed_extra=111)),
     ("fineoffset_wh1050",  69, dict(amp=48, noise=4.0, time_scale=1.004,
                                     jitter=0.01, seed_extra=112)),
+    # round-3 corpus-tail families (gentle impairments: these frames are
+    # length- or clock-critical by design)
+    ("vaillant_vrt340f",   77, dict(amp=60, noise=3.0, jitter=0.01,
+                                    seed_extra=113)),
+    ("fordremote",         93, dict(amp=64, noise=2.5, seed_extra=114)),
+    ("marlec_solar",      188, dict(amp=64, noise=3.0, jitter=0.006,
+                                    seed_extra=115)),
+    ("ced7000",           233, dict(amp=56, noise=3.5, seed_extra=116)),
+    ("esa_energy",        117, dict(amp=56, noise=3.5, jitter=0.008,
+                                    seed_extra=117)),
+    ("watts_wfht_rf",     348, dict(amp=64, noise=3.0, time_scale=0.95,
+                                    seed_extra=118)),
+    ("rainpoint",         276, dict(amp=64, noise=3.0, seed_extra=119)),
+    ("emontx",             45, dict(amp=60, noise=3.0, jitter=0.008,
+                                    seed_extra=120)),
 ]
 
 
@@ -74,16 +89,20 @@ def main():
             continue
         ddir = os.path.join(OUT, name)
         os.makedirs(ddir, exist_ok=True)
+        import glob as _glob
+        if _glob.glob(os.path.join(ddir, "*.cu8")):
+            print(f"keep {name}: fixture already frozen")
+            continue
         tmp = build_corpus_entry(num, code, ddir, **kw)
         if tmp is None:
             print(f"skip {name}: modulation not invertible")
             continue
         # reference layout name; sample rate is embedded so the loader
         # parses it from the filename exactly like the reference does
-        rate_k = 250
+        import re
         base = os.path.basename(tmp)
-        if "1000k" in base or "4096k" in base:
-            rate_k = 1000 if "1000k" in base else 4096
+        m = re.search(r"_(\d+)k\.cu8$", base)
+        rate_k = int(m.group(1)) if m else 250
         fname = f"g{gi:03d}_433.92M_{rate_k}k.cu8"
         path = os.path.join(ddir, fname)
         os.replace(tmp, path)
