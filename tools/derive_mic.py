@@ -241,32 +241,68 @@ def _checks_from_guard(cond, b_name, digest_vars):
 
 
 def _is_fail_return(body):
+    """`return <Name/Constant/-Constant>` only — a `return <Call>` may
+    delegate to an event-producing helper (e.g. fineoffset_WH0530's
+    63-bit Alecto path) and must NOT count as a fail code."""
     if len(body) != 1 or not isinstance(body[0], ast.Return):
         return False
     v = body[0].value
-    return v is not None and not isinstance(v, (ast.List, ast.ListComp))
+    if isinstance(v, (ast.Name, ast.Constant)):
+        return v is not None
+    return isinstance(v, ast.UnaryOp) and isinstance(v.operand, ast.Constant)
 
 
 def _row_bytes_src(v, bits_name, row_names):
-    """_ints(bits.bb[r]) / _ints(bits.extract_bytes(r, 0, L)) -> row
-    (int row index, or -1 for a variable/any row) or None."""
+    """_ints(bits.bb[r]) / _ints(bits.extract_bytes(r, OFF, L)) ->
+    (row, bit_off) where row is an int index or -1 for a variable/any
+    row, or None."""
     if not (isinstance(v, ast.Call) and isinstance(v.func, ast.Name)
             and v.func.id == "_ints" and len(v.args) == 1):
         return None
     a = v.args[0]
+    bit_off = 0
     if isinstance(a, ast.Subscript) and _is_attr(a.value, bits_name, "bb"):
         idx = a.slice
     elif (isinstance(a, ast.Call)
           and _is_attr(a.func, bits_name, "extract_bytes")
-          and len(a.args) == 3 and _const_int(a.args[1]) == 0):
+          and len(a.args) == 3 and _const_int(a.args[1]) is not None
+          and _const_int(a.args[1]) >= 0):
         idx = a.args[0]
+        bit_off = _const_int(a.args[1])
     else:
         return None
     k = _const_int(idx)
     if k is not None:
-        return k
+        return (k, bit_off)
     if isinstance(idx, ast.Name) and idx.id in row_names:
-        return -1
+        return (-1, bit_off)
+    return None
+
+
+def _reflect_src(v, views):
+    """[util.reverse8(x) for x in <view>] / ... for x in <view>[:K]] ->
+    source view name, or None."""
+    if not (isinstance(v, ast.ListComp) and len(v.generators) == 1
+            and not v.generators[0].ifs):
+        return None
+    gen = v.generators[0]
+    if not isinstance(gen.target, ast.Name):
+        return None
+    elt = v.elt
+    if not (isinstance(elt, ast.Call) and isinstance(elt.func, ast.Attribute)
+            and isinstance(elt.func.value, ast.Name)
+            and elt.func.value.id == "util"
+            and elt.func.attr == "reverse8" and len(elt.args) == 1
+            and isinstance(elt.args[0], ast.Name)
+            and elt.args[0].id == gen.target.id):
+        return None
+    it = gen.iter
+    if isinstance(it, ast.Name) and it.id in views:
+        return it.id
+    if (isinstance(it, ast.Subscript) and isinstance(it.value, ast.Name)
+            and it.value.id in views and isinstance(it.slice, ast.Slice)
+            and it.slice.lower is None and it.slice.step is None):
+        return it.value.id
     return None
 
 
@@ -300,13 +336,66 @@ def derive(fn):
     return _derive_row_loop(fdef, bits_name)
 
 
+def _guard_checks_views(cond, views, digest_vars, row_sel):
+    """Collect checks across every byte view; each check carries its
+    view's (bit_off, reflect). All views must agree on the spec row."""
+    out = []
+    for name, (row, bit_off, reflect) in views.items():
+        if row_sel[0] is not None and row != row_sel[0]:
+            continue
+        dvars = {k: core for k, (core, vk) in digest_vars.items()
+                 if vk == name}
+        for c in _checks_from_guard(cond, name, dvars):
+            if row_sel[0] is None:
+                row_sel[0] = row
+            if bit_off or reflect:
+                c = c + (bit_off, reflect)
+            out.append(c)
+    return out
+
+
+def _track_view_assign(st, bits_name, row_names, views, digest_vars):
+    """Process one Assign statement for view/digest tracking. Returns
+    True when handled."""
+    if len(st.targets) != 1 or not isinstance(st.targets[0], ast.Name):
+        return False
+    tgt = st.targets[0].id
+    v = st.value
+    if (isinstance(v, ast.Call)
+            and _is_attr(v.func, bits_name, "find_repeated_row")):
+        row_names.add(tgt)
+        return True
+    src = _row_bytes_src(v, bits_name, row_names)
+    if src is not None:
+        views[tgt] = (src[0], src[1], False)
+        digest_vars.pop(tgt, None)
+        return True
+    ref = _reflect_src(v, views)
+    if ref is not None:
+        row, bit_off, refl = views[ref]
+        views[tgt] = (row, bit_off, not refl)
+        digest_vars.pop(tgt, None)
+        return True
+    for name in views:
+        d = _digest_core(v, name)
+        if d is not None:
+            digest_vars[tgt] = (d, name)
+            return True
+    if tgt in views:
+        if _is_pad_noop(v, tgt):
+            return True
+        del views[tgt]  # reassigned to something else
+    digest_vars.pop(tgt, None)
+    return False
+
+
 def _derive_prefix(fdef, bits_name):
     invert = False
-    b_name = None
-    b_row = None
     row_names = set()
+    views = {}
     digest_vars = {}
     checks = []
+    row_sel = [None]
     for st in fdef.body:
         if isinstance(st, ast.Expr) and isinstance(st.value, ast.Constant):
             continue  # docstring
@@ -316,46 +405,23 @@ def _derive_prefix(fdef, bits_name):
                     isinstance(c.func.value, ast.Name) and \
                     c.func.value.id == bits_name and \
                     c.func.attr == "invert" and not c.args:
-                if b_name is not None:
+                if views:
                     break  # invert after extraction: bytes already taken
                 invert = True
                 continue
             break
         if isinstance(st, ast.Assign):
-            if len(st.targets) != 1 or not isinstance(st.targets[0],
-                                                      ast.Name):
-                continue
-            tgt = st.targets[0].id
-            v = st.value
-            if (isinstance(v, ast.Call)
-                    and _is_attr(v.func, bits_name, "find_repeated_row")):
-                row_names.add(tgt)
-                continue
-            row = _row_bytes_src(v, bits_name, row_names)
-            if row is not None:
-                b_name, b_row = tgt, row
-                continue
-            d = _digest_core(v, b_name) if b_name else None
-            if d is not None:
-                digest_vars[tgt] = d
-                continue
-            if b_name is not None and tgt == b_name:
-                if _is_pad_noop(v, b_name):
-                    continue
-                b_name = None  # b reassigned to something else
-            if tgt in digest_vars:
-                del digest_vars[tgt]
+            _track_view_assign(st, bits_name, row_names, views, digest_vars)
             continue
         if isinstance(st, ast.If):
             if _is_fail_return(st.body) and not st.orelse:
-                if b_name is not None:
-                    checks += _checks_from_guard(st.test, b_name,
-                                                 digest_vars)
+                checks += _guard_checks_views(st.test, views, digest_vars,
+                                              row_sel)
                 continue
             break
         break
     if checks:
-        return (b_row, invert, tuple(checks))
+        return (row_sel[0], invert, tuple(checks))
     return None
 
 
@@ -383,39 +449,87 @@ def _derive_row_loop(fdef, bits_name):
                              if hasattr(n, "lineno")))
     if not all(span[0] <= e.lineno <= span[1] for e in events):
         return None
+    # the gate evaluates on the bitbuffer as SLICED: any mutation before
+    # the loop (invert, majority-vote add_row, row cancellation) changes
+    # the bytes the decoder sees, so only a top-level prefix
+    # `bits.invert()` is representable — anything else rejects
+    invert = False
+    mutators = {"invert", "add_row", "add_bit", "add_sync", "clear",
+                "crop", "set_bits_per_row"}
+    for n in ast.walk(fdef):
+        line = getattr(n, "lineno", None)
+        if line is None or line >= loop.lineno:
+            continue
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute) \
+                and isinstance(n.func.value, ast.Name) \
+                and n.func.value.id == bits_name \
+                and n.func.attr in mutators:
+            if n.func.attr == "invert" and any(
+                    isinstance(st, ast.Expr) and st.value is n
+                    for st in fdef.body):
+                invert = True
+                continue
+            return None
+        if isinstance(n, (ast.Assign, ast.AugAssign)):
+            tgts = n.targets if isinstance(n, ast.Assign) else [n.target]
+            for t in tgts:
+                for s in ast.walk(t):
+                    if isinstance(s, ast.Attribute) \
+                            and isinstance(s.value, ast.Name) \
+                            and s.value.id == bits_name:
+                        return None  # writes bits storage before the loop
+
     row_names = {loop.target.id}
-    b_name = None
+    views = {}
     digest_vars = {}
     checks = []
+    row_sel = [-1]
     for st in loop.body:
         if isinstance(st, ast.Assign):
-            if len(st.targets) != 1 or not isinstance(st.targets[0],
-                                                      ast.Name):
-                continue
-            tgt = st.targets[0].id
-            row = _row_bytes_src(st.value, bits_name, row_names)
-            if row is not None:
-                b_name = tgt
-                continue
-            d = _digest_core(st.value, b_name) if b_name else None
-            if d is not None:
-                digest_vars[tgt] = d
-                continue
-            if b_name is not None and tgt == b_name:
-                if _is_pad_noop(st.value, b_name):
-                    continue
-                b_name = None
+            _track_view_assign(st, bits_name, row_names, views, digest_vars)
             continue
-        if isinstance(st, ast.If) and len(st.body) == 1 and \
-                isinstance(st.body[0], (ast.Continue, ast.Break)) and \
-                not st.orelse:
-            if b_name is not None:
-                checks += _checks_from_guard(st.test, b_name, digest_vars)
+        if isinstance(st, ast.If) and not st.orelse \
+                and _is_guard_body(st.body, fdef):
+            checks += _guard_checks_views(st.test, views, digest_vars,
+                                          row_sel)
             continue
         break
     if checks:
-        return (-1, False, tuple(checks))
+        return (-1, invert, tuple(checks))
     return None
+
+
+def _is_guard_body(body, fdef):
+    """`continue`/`break`, optionally preceded by one bookkeeping
+    assignment `ret = <code>` whose name provably cannot influence event
+    emission (its only other uses are returns or re-assignments)."""
+    if len(body) == 1:
+        return isinstance(body[0], (ast.Continue, ast.Break))
+    if len(body) != 2 or not isinstance(body[1], (ast.Continue, ast.Break)):
+        return False
+    st = body[0]
+    if not (isinstance(st, ast.Assign) and len(st.targets) == 1
+            and isinstance(st.targets[0], ast.Name)
+            and isinstance(st.value, (ast.Name, ast.Constant, ast.Call))):
+        return False
+    nm = st.targets[0].id
+    # every occurrence of nm must be: an assignment target of a simple
+    # `nm = <expr not reading bits data>`, inside such an expr reading
+    # only nm itself (e.g. min(nm, X)), or inside a Return
+    total = sum(1 for n in ast.walk(fdef)
+                if isinstance(n, ast.Name) and n.id == nm)
+    sanctioned = 0
+    for n in ast.walk(fdef):
+        if isinstance(n, ast.Return) and n.value is not None:
+            sanctioned += sum(1 for s in ast.walk(n.value)
+                              if isinstance(s, ast.Name) and s.id == nm)
+        elif isinstance(n, ast.Assign) and len(n.targets) == 1 \
+                and isinstance(n.targets[0], ast.Name) \
+                and n.targets[0].id == nm:
+            sanctioned += 1  # the target itself
+            sanctioned += sum(1 for s in ast.walk(n.value)
+                              if isinstance(s, ast.Name) and s.id == nm)
+    return sanctioned == total
 
 
 def main():
