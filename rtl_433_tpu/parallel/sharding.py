@@ -14,9 +14,11 @@ strategies"); the TPU framework *invents* the parallel decomposition:
   embarrassingly linear by construction.
 - **sp (time axis)** — within a channel the engine already processes the
   sample axis as a `lax.scan` with an O(1) carried-state pytree; sequence
-  sharding across chips would exchange that carry via `ppermute` (pipeline
-  parallelism). Channels are abundant in the target deployment, so dp is
-  the primary axis; the carry contract is what makes sp possible at all.
+  sharding across chips is IMPLEMENTED in ``parallel/timeshard.py``:
+  speculative overlap-save with a ``lax.ppermute`` halo exchange and
+  on-device inductive verification, bit-identical to the sequential run.
+  Channels are abundant in the target deployment, so dp is the primary
+  axis; the carry contract is what makes sp possible at all.
 
 Mesh layouts: 1-D ``("ch",)`` within a slice; 2-D ``("host", "ch")`` for
 multi-host runs where the host axis rides DCN and channels within a host
