@@ -174,6 +174,44 @@ def test_gates_subthreshold_never_decode():
             assert not (isinstance(ret, list) and ret), \
                 f"{d.symbol} decoded below its gate {GATES[d.symbol]}"
 
+
+def test_gates_cross_vector_soundness():
+    """Adversarial gate check with REAL frame content: every oracle
+    vector (a realistic sliced bitbuffer) is fed to every decoder whose
+    gate rejects it — any event emitted means that gate excludes a
+    decodable input (e.g. an alternate frame length the hand-derived
+    bound missed)."""
+    from test_decoder_oracle import VECTORS
+    reg = Registry()
+    devs = [d for d in reg.slots
+            if d is not None and d.decode_fn and d.symbol in GATES]
+    buffers = []
+    seen = set()
+    for num, code, _ in VECTORS:
+        for part in code.split("|"):
+            if part in seen or part.strip().upper().startswith("AAB"):
+                continue
+            seen.add(part)
+            buffers.append(BitBuffer.parse(part))
+    assert len(buffers) > 300
+    hits = []
+    for bits in buffers:
+        maxb = max(bits.bits_per_row[:bits.num_rows] or [0])
+        nr = bits.num_rows
+        for d in devs:
+            g = GATES[d.symbol]
+            xr = g[2] if len(g) > 2 else 10**9
+            if g[0] <= nr <= xr and maxb >= g[1]:
+                continue  # gate passes; decoder may do anything
+            try:
+                ret = d.decode_fn(bits.clone(), d)
+            except Exception:
+                continue  # dispatch guards decoder crashes separately
+            if isinstance(ret, list) and ret:
+                hits.append((d.symbol, g, nr, maxb))
+    assert not hits, f"gates excluded decodable inputs: {hits[:10]}"
+
+
 def test_mic_gates_pass_all_oracle_vectors():
     """A MIC gate must never exclude a bitbuffer its decoder can decode."""
     from test_decoder_oracle import VECTORS
