@@ -71,7 +71,13 @@ class RtlTpu:
                  report_noise: int = 0,
                  auto_level: int = 0,
                  verbosity: int = 0,
-                 device_slice: bool = False):
+                 device_slice: bool = False,
+                 fm_filter: float = 0.0,
+                 gain_db: Optional[float] = None,
+                 ppm_error: int = 0):
+        self.fm_filter = float(fm_filter)   # -Y filter= (us/Hz/ratio)
+        self.gain_db = gain_db              # -g, applied to rtl_tcp tuner
+        self.ppm_error = int(ppm_error)     # -p, applied to rtl_tcp tuner
         self.verbosity = verbosity
         self.analyze = analyze
         self.sample_rate = int(sample_rate)
@@ -175,6 +181,7 @@ class RtlTpu:
                                   if self.fixed_level_db else 0.0),
                 min_high_level=self.min_level_auto,
                 high_low_ratio=self.min_snr_db,
+                fm_low_pass=self.fm_filter,
                 unroll=16 if on_tpu else 1,
                 # fused Pallas front-end + all-idle fast path on hardware;
                 # wider drain interval amortizes the publish path on dense
@@ -530,6 +537,10 @@ class RtlTpu:
             cli.connect()
             cli.set_sample_rate(self.sample_rate)
             cli.set_center_freq(freqs[freq_index])
+            if self.gain_db is not None:     # -g (ref src/sdr.c gain set)
+                cli.set_gain(int(round(self.gain_db * 10)))
+            if self.ppm_error:               # -p
+                cli.set_freq_correction(self.ppm_error)
             self._dev_state = "starting"
             self._watchdog = 0
             return cli

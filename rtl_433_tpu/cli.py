@@ -20,7 +20,9 @@ Mirrors the rtl_433 flags where meaningful for the TPU framework
   -X <spec>      add a flex general-purpose decoder (same grammar as rtl_433)
   -Y <mode>      FSK detector: auto|classic|minmax[,ampest|magest]
                  [,level=<dB>][,minlevel=<dB>][,minsnr=<dB>][,squelch]
-                 [,autolevel[=N]][,deviceslice]
+                 [,autolevel[=N]][,filter=<us|Hz|ratio>][,deviceslice]
+  -g <dB>        tuner gain over rtl_tcp ("auto" leaves the server default)
+  -p <ppm>       tuner frequency correction over rtl_tcp
   -A             pulse analyzer hints for detected packages
   -a             (deprecated in the reference; accepted, no-op)
 
@@ -141,7 +143,17 @@ def main(argv=None):
             after_events = val()
         elif a == "-T":
             duration = _metric(val())
-        elif a in ("-G", "-b", "-l", "-p", "-g", "-t",
+        elif a == "-g":
+            # tuner gain in dB ("auto"/empty = leave the server default),
+            # applied over rtl_tcp (ref src/sdr.c set_gain)
+            v = val()
+            try:
+                y_opts["gain_db"] = float(v)
+            except ValueError:
+                pass
+        elif a == "-p":
+            y_opts["ppm_error"] = int(float(val()))  # tuner ppm correction
+        elif a in ("-G", "-b", "-l", "-t",
                    "-I", "-z", "-x", "-a"):
             val()  # accepted for CLI compat; no-op or handled elsewhere
         elif a == "-r":
@@ -185,6 +197,10 @@ def main(argv=None):
                     # autolevel or autolevel=N (ref src/rtl_433.c:944-946)
                     y_opts["auto_level"] = (int(part[10:])
                                             if part[9:10] == "=" else 1)
+                elif part.startswith("filter="):
+                    # FM low-pass cutoff: us (1-9999), Hz (10000+), or
+                    # ratio of fs (ref src/rtl_433.c:978, r_flow.c:204)
+                    y_opts["fm_filter"] = float(part[7:])
                 elif part == "deviceslice":
                     # batch (package, spec) slicing on the accelerator
                     # (decoders/device_dispatch.py; no reference analogue)

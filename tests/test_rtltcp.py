@@ -90,6 +90,22 @@ def test_live_rtl_tcp_decode():
     assert 0x01 in cmds and 0x02 in cmds
 
 
+def test_live_rtl_tcp_gain_ppm():
+    """-g / -p reach the tuner as rtl_tcp commands (0x04 gain tenth-dB,
+    0x05 ppm correction; ref src/sdr.c set_gain / set_freq_correction)."""
+    blocks = [np.full((131072, 2), 128, np.uint8)]
+    srv = FakeRtlTcp(blocks)
+    srv.start()
+    rx = RtlTpu(register_all=False, gain_db=28.1, ppm_error=43)
+    rx.registry.register(19)
+    rx.run_live(f"rtl_tcp:127.0.0.1:{srv.port}", max_blocks=1)
+    import time
+    time.sleep(0.2)
+    cmds = dict((c, v) for c, v in srv.commands)
+    assert cmds.get(0x04) == 281
+    assert cmds.get(0x05) == 43
+
+
 def test_rtltcp_passthrough_server():
     srv = RtlTcpServer("127.0.0.1", 0)
     try:
