@@ -318,26 +318,33 @@ def main():
             })
             print(f"best so far: {msps:.1f} MS/s ({tag})", file=sys.stderr)
 
-    # main measurement FIRST (scatter publish path) so a later optional
-    # stage hanging can never erase the round's number
-    msps, state = measure(jstep, state, "scatter-pub")
-    record(msps, "scatter-pub")
-
     # flat-arena publish variant: the record->slot scatters cost
     # O(C*log_cap) updates; flat_pub compacts globally first
     # (engine._drain_block). Unmeasurable off-TPU, so measure both on
-    # hardware and report the faster pipeline.
+    # hardware and report the faster pipeline. BENCH_FLAT_PUB: auto
+    # (measure both), 0 (scatter only), anything else forces flat only.
     flat_cap = int(os.environ.get("BENCH_FLAT_ARENA", "65536"))
-    if flat_cap > 0 and os.environ.get("BENCH_FLAT_PUB", "auto") != "0":
+    flat_mode = os.environ.get("BENCH_FLAT_PUB", "auto")
+    variants = [("scatter-pub", jstep)]
+    if flat_cap > 0 and flat_mode != "0":
         try:
             jstep_flat = make_step(params._replace(flat_pub=flat_cap))
-            for rr in range(rotations):  # compile + warm
-                state, comp = jstep_flat(state, blocks[rr])
-            jax.device_get(comp)
-            msps_f, state = measure(jstep_flat, state, "flat-pub")
-            record(msps_f, "flat-pub")
-        except Exception as e:  # compile/OOM: keep the scatter number
+            variants.append(("flat-pub", jstep_flat))
+            if flat_mode not in ("auto",):
+                variants = [("flat-pub", jstep_flat)]
+                print("flat-arena publish forced on", file=sys.stderr)
+        except Exception as e:  # compile/OOM: keep the scatter path
             print(f"flat-arena publish unavailable: {e!r}", file=sys.stderr)
+
+    # measure each variant fully; a later variant hanging can never erase
+    # an earlier completed number (the watchdog reports _BEST)
+    for vi, (tag, step_fn) in enumerate(variants):
+        if vi > 0:
+            for rr in range(rotations):  # compile + warm the new step
+                state, comp = step_fn(state, blocks[rr])
+            jax.device_get(comp)
+        msps_v, state = measure(step_fn, state, tag)
+        record(msps_v, tag)
 
     watchdog.cancel()
     if not _BEST.get("value"):

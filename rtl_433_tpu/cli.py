@@ -150,7 +150,9 @@ def main(argv=None):
             try:
                 y_opts["gain_db"] = float(v)
             except ValueError:
-                pass
+                if v.strip().lower() not in ("", "auto"):
+                    print(f"rtl_433_tpu: ignoring malformed gain {v!r} "
+                          "(expected dB value or 'auto')", file=sys.stderr)
         elif a == "-p":
             y_opts["ppm_error"] = int(float(val()))  # tuner ppm correction
         elif a in ("-G", "-b", "-l", "-t",

@@ -65,7 +65,13 @@ class RtlTcpClient:
     def set_sample_rate(self, rate):
         self._cmd(CMD_RATE, rate)
 
+    def set_gain_mode(self, manual: int):
+        self._cmd(CMD_GAIN_MODE, manual)
+
     def set_gain(self, tenth_db):
+        # librtlsdr ignores SET_GAIN unless the tuner is in manual gain
+        # mode first (ref src/sdr.c:1334-1335)
+        self.set_gain_mode(1)
         self._cmd(CMD_GAIN, tenth_db)
 
     def set_freq_correction(self, ppm):

@@ -629,31 +629,36 @@ def slice_pcm(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
 # (ref src/pulse_slicer.c:451-527)
 # ---------------------------------------------------------------------------
 
-def mc_bounds(devices, sample_rate: int):
-    """Per-spec MC-zerobit windows [S]. All comparisons are integer
-    (`x > 1.5*s` is evaluated as `2x > 3s`), so the kernel is exact with
-    no float-boundary fallback."""
+def _timing_cols(devices, sample_rate: int, fields):
+    """Shared per-spec timing-column builder: ``fields`` maps a column
+    name to a callable over the resolved _timings dict; specs whose
+    timings don't resolve get 0/False and ok=False."""
     from ..pulse.slicers import _timings
-
-    cols = {k: [] for k in ("short", "reset", "tol", "has_tol", "ok")}
 
     class _P:
         pass
 
     p = _P()
     p.sample_rate = sample_rate
-    for dev in devices:
-        t = _timings(p, dev)
-        if t is None:
-            for k in cols:
-                cols[k].append(False if k in ("ok", "has_tol") else 0)
-            continue
-        for k, v in (("short", t["short"]), ("reset", t["reset"]),
-                     ("tol", t["tolerance"]),
-                     ("has_tol", t["tolerance"] > 0), ("ok", True)):
-            cols[k].append(v)
-    return {k: np.asarray(v, bool if k in ("ok", "has_tol") else np.int32)
-            for k, v in cols.items()}
+    ts = [_timings(p, dev) for dev in devices]
+    out = {"ok": np.asarray([t is not None for t in ts], bool)}
+    for k, fn in fields.items():
+        vals = [fn(t) for t in ts if t is not None]
+        isbool = bool(vals) and isinstance(vals[0], (bool, np.bool_))
+        full = [fn(t) if t is not None else (False if isbool else 0)
+                for t in ts]
+        out[k] = np.asarray(full, bool if isbool else np.int32)
+    return out
+
+
+def mc_bounds(devices, sample_rate: int):
+    """Per-spec MC-zerobit windows [S]. All comparisons are integer
+    (`x > 1.5*s` is evaluated as `2x > 3s`), so the kernel is exact with
+    no float-boundary fallback."""
+    return _timing_cols(devices, sample_rate, {
+        "short": lambda t: t["short"], "reset": lambda t: t["reset"],
+        "tol": lambda t: t["tolerance"],
+        "has_tol": lambda t: bool(t["tolerance"] > 0)})
 
 
 @functools.partial(jax.jit, static_argnames=("caps",))
@@ -783,27 +788,9 @@ def slice_mc(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
 
 def dmc_bounds(devices, sample_rate: int):
     """Per-spec DMC windows [S]; all comparisons are integer-exact."""
-    from ..pulse.slicers import _timings
-
-    cols = {k: [] for k in ("short", "long", "reset", "tol", "ok")}
-
-    class _P:
-        pass
-
-    p = _P()
-    p.sample_rate = sample_rate
-    for dev in devices:
-        t = _timings(p, dev)
-        if t is None:
-            for k in cols:
-                cols[k].append(False if k == "ok" else 0)
-            continue
-        for k, v in (("short", t["short"]), ("long", t["long"]),
-                     ("reset", t["reset"]), ("tol", t["tolerance"]),
-                     ("ok", True)):
-            cols[k].append(v)
-    return {k: np.asarray(v, bool if k == "ok" else np.int32)
-            for k, v in cols.items()}
+    return _timing_cols(devices, sample_rate, {
+        "short": lambda t: t["short"], "long": lambda t: t["long"],
+        "reset": lambda t: t["reset"], "tol": lambda t: t["tolerance"]})
 
 
 @functools.partial(jax.jit, static_argnames=("caps",))

@@ -95,13 +95,11 @@ def _pwm(bits, dev):
         rows = rows[:-1]
     first_full = next((i for i in rows if bits.bits_per_row[i] > 0), None)
     lead = 0
-    while rows and bits.bits_per_row[rows[0]] == 0:
-        if first_full is None or y <= 0:
+    while lead < len(rows) and bits.bits_per_row[rows[lead]] == 0:
+        if first_full is None or y <= 0 or lead >= 8:
             return None
-        rows[0] = first_full
+        rows[lead] = first_full
         lead += 1
-        if lead > 8:
-            return None
     train = []
     for k, row in enumerate(rows):
         for _ in range(bits.syncs_before_row[row] if k >= lead else 1):

@@ -127,7 +127,9 @@ def _guard_constraints(cond, bits_name, frr_vars, row_len_vars=None,
         nm = a if _const_int(b) is not None else b
         if kk is not None and isinstance(nm, ast.Name) \
                 and nm.id in nonneg_names:
-            return [("min_bits", kk if isinstance(op, ast.Gt) else kk - 1)]
+            # fail on `pos+K > bpr` => bpr >= pos+K >= K;
+            # fail on `pos+K >= bpr` => bpr > pos+K => bpr >= K+1
+            return [("min_bits", kk if isinstance(op, ast.Gt) else kk + 1)]
     if k is None:
         return None
     if _is_attr(lhs, bits_name, "num_rows"):
