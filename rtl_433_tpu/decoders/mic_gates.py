@@ -52,12 +52,22 @@ MIC_GATES = {
 }
 
 
+_SUMS = ("add_bytes", "xor_bytes", "add_nibbles", "parity_bytes")
+
+
 def _digest(algo, rows, nbytes, p1, p2):
-    from ..ops import mic
-    fn = getattr(mic, algo)
-    if algo in ("add_bytes", "xor_bytes", "add_nibbles", "parity_bytes"):
-        return np.asarray(fn(rows, nbytes), np.int64)
-    return np.asarray(fn(rows, nbytes, p1, p2), np.int64)
+    """Digest per candidate row. Host dispatch evaluates a handful of
+    tiny rows per (train, decoder) pair, where the scalar bits/util
+    digests are ~100x cheaper than dispatching the batched jnp kernels
+    (ops/mic.py — those serve jit/vmap device contexts; both are fuzzed
+    against each other in tests/test_mic_kernels.py)."""
+    from ..bits import util
+    fn = getattr(util, algo)
+    if algo in _SUMS:
+        return np.asarray([fn(bytes(bytearray(r[:nbytes])), nbytes)
+                           for r in rows], np.int64)
+    return np.asarray([fn(bytes(bytearray(r[:nbytes])), nbytes, p1, p2)
+                       for r in rows], np.int64)
 
 
 _REFLECT_LUT = np.asarray(
