@@ -392,6 +392,11 @@ class Registry:
                     | summary[live, 1].astype(np.int64)
                 uniq, inverse, counts = np.unique(
                     keys, return_inverse=True, return_counts=True)
+                # group live rows by unique key once (the naive
+                # `live[inverse == k]` per key is O(U * L))
+                order = np.argsort(inverse, kind="stable")
+                starts = np.concatenate(
+                    ([0], np.cumsum(counts)))
                 for k in range(uniq.size):
                     i = int(uniq[k] >> 32)
                     if meta["stateful"][i]:
@@ -407,7 +412,7 @@ class Registry:
                         if not gate_bits(bits, mspec):
                             mic_counts.append((i, n_calls))
                             continue
-                    rows = live[inverse == k].tolist()
+                    rows = live[order[starts[k]:starts[k + 1]]].tolist()
                     uniq_plan.append((i, off, n_calls, rows))
             plans.append({"gate_counts": gate_counts,
                           "mic_counts": mic_counts,
