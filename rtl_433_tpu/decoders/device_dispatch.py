@@ -31,6 +31,10 @@ _FAM_MODS = {
     "mc": ("OOK_PULSE_MANCHESTER_ZEROBIT",
            "FSK_PULSE_MANCHESTER_ZEROBIT"),
     "dmc": ("OOK_PULSE_DMC",),
+    "piwm_dc": ("OOK_PULSE_PIWM_DC",),
+    "nrzs": ("OOK_PULSE_NRZS",),
+    "rzi": ("OOK_PULSE_RZI",),
+    "osv1": ("OOK_PULSE_PWM_OSV1",),
 }
 
 
@@ -69,7 +73,9 @@ class DeviceBank:
     def __init__(self, devices, sample_rate: int,
                  pcm_caps=None, ppm_caps=None):
         from ..ops.slice import (SliceCaps, dmc_bounds, mc_bounds,
-                                 pcm_bounds, ppm_bounds, pwm_bounds)
+                                 nrzs_bounds, osv1_bounds, pcm_bounds,
+                                 piwm_dc_bounds, ppm_bounds, pwm_bounds,
+                                 rzi_bounds)
         self.devices = list(devices)
         self.sample_rate = sample_rate
         self.meta = None
@@ -91,7 +97,11 @@ class DeviceBank:
                 ("pwm", pwm_bounds, caps_small),
                 ("pcm", pcm_bounds, caps_pcm),
                 ("mc", mc_bounds, caps_mc),
-                ("dmc", dmc_bounds, caps_mc)):
+                ("dmc", dmc_bounds, caps_mc),
+                ("piwm_dc", piwm_dc_bounds, caps_mc),
+                ("nrzs", nrzs_bounds, caps_pcm),
+                ("rzi", rzi_bounds, caps_pcm),
+                ("osv1", osv1_bounds, caps_pcm)):
             idx = fam_idx[fam]
             if idx:
                 bounds = builder([self.devices[i] for i in idx],
@@ -147,10 +157,13 @@ class DeviceBank:
         list (per train) of (summary int32[k,4], records {off: bytes}) in
         the native bank's layout/order contract.
         """
-        from ..ops.slice import (slice_dmc, slice_mc, slice_pcm, slice_ppm,
-                                 slice_pwm)
+        from ..ops.slice import (slice_dmc, slice_mc, slice_nrzs,
+                                 slice_osv1, slice_pcm, slice_piwm_dc,
+                                 slice_ppm, slice_pwm, slice_rzi)
         kernels = {"ppm": slice_ppm, "pwm": slice_pwm, "pcm": slice_pcm,
-                   "mc": slice_mc, "dmc": slice_dmc}
+                   "mc": slice_mc, "dmc": slice_dmc,
+                   "piwm_dc": slice_piwm_dc, "nrzs": slice_nrzs,
+                   "rzi": slice_rzi, "osv1": slice_osv1}
 
         B = len(trains)
         if B == 0:

@@ -867,3 +867,378 @@ def slice_dmc(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
     carry, ys = lax.scan(step, (z, z, z, zb, zb, zb), (sym, valid))
     ev_f, _r, _b, _p, _h, ovf = carry
     return _assemble(ys, ev_f, ovf, SliceCaps(E, R, BY))
+
+
+# ---------------------------------------------------------------------------
+# PIWM differential-coding — mirrors pulse/slicers.py slicer_piwm_dc
+# (ref src/pulse_slicer.c:659-713)
+# ---------------------------------------------------------------------------
+
+def piwm_dc_bounds(devices, sample_rate: int):
+    """Per-spec PIWM-DC windows [S]; all comparisons are integer-exact."""
+    return _timing_cols(devices, sample_rate, {
+        "short": lambda t: t["short"], "long": lambda t: t["long"],
+        "reset": lambda t: t["reset"], "tol": lambda t: t["tolerance"]})
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def slice_piwm_dc(pulse, gap, n_pulses, bounds,
+                  caps: SliceCaps = SliceCaps()):
+    """Batched PIWM-DC slicing over the interleaved pulse/gap symbol axis.
+
+    Each in-tolerance symbol is one bit (short=1, long=0); a sub-reset
+    out-of-class symbol row-breaks a non-empty row; a super-reset symbol
+    (or the final symbol) flushes the event when anything was buffered.
+    """
+    B, N = pulse.shape
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    sh = bounds["short"][None, :]
+    lo = bounds["long"][None, :]
+    rst = bounds["reset"][None, :]
+    tol = bounds["tol"][None, :]
+    okm = bounds["ok"][None, :]
+
+    def step(carry, xs):
+        ev, row, bir, touched, ovf = carry
+        sym, valid, last = xs
+        sym = sym[:, None].astype(jnp.int32)
+        act = valid[:, None] & okm
+        last = last[:, None]
+        in1 = act & (jnp.abs(sym - sh) < tol)
+        in0 = act & ~in1 & (jnp.abs(sym - lo) < tol)
+        isrb = act & ~in1 & ~in0 & (sym < rst) & touched & (bir > 0)
+        isbit = in1 | in0
+        b_ev, b_row, b_bir = ev, row, bir
+        bir2 = jnp.where(isbit, bir + 1, bir)
+        touched2 = touched | isbit
+        row2 = jnp.where(isrb, row + 1, row)
+        bir3 = jnp.where(isrb, 0, bir2)
+        flush = act & ((sym > rst) | last) & touched2
+        f_rows = row2 + 1
+        ev2 = jnp.where(flush, ev + 1, ev)
+        row3 = jnp.where(flush, 0, row2)
+        bir4 = jnp.where(flush, 0, bir3)
+        touched3 = jnp.where(flush, False, touched2)
+        ovf2 = ovf | (row2 >= R) | (bir2 > BY * 8) | (flush & (ev2 >= E))
+        ys = (isbit, in1.astype(jnp.int32), b_ev, b_row, b_bir,
+              jnp.zeros_like(in1), ev, row, flush, ev, f_rows)
+        return (ev2, row3, bir4, touched3, ovf2), ys
+
+    sym = jnp.stack([pulse.T, gap.T], axis=1).reshape(2 * N, B)
+    iot = jnp.arange(2 * N)[:, None]
+    valid = iot < (2 * n_pulses)[None, :]
+    last = iot == (2 * n_pulses - 1)[None, :]
+    z = jnp.zeros((B, sh.shape[1]), jnp.int32)
+    zb = jnp.zeros_like(z, bool)
+    carry, ys = lax.scan(step, (z, z, z, zb, zb), (sym, valid, last))
+    ev_f, _r, _b, _t, ovf = carry
+    return _assemble(ys, ev_f, ovf, SliceCaps(E, R, BY))
+
+
+# ---------------------------------------------------------------------------
+# NRZS / RZI — run-emitting single-row slicers
+# (ref src/pulse_slicer.c:715-759, :866-918)
+# ---------------------------------------------------------------------------
+
+def _assemble_runs(B, S, N, caps: SliceCaps, ones_n, zeros_n, b_ev, b_start,
+                   flush, f_ev, f_rows, ev_f, ovf):
+    """Shared assembly for slicers that only ever write row 0: per-step
+    runs of ``ones_n`` 1-bits at ``b_start`` followed by ``zeros_n``
+    0-bits, packed via the same delta-scatter + cumsum trick as PCM."""
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    BITS = BY * 8
+    L = B * S
+
+    def flat(x):
+        return x.reshape(N, L).T                          # [L, N]
+
+    lane = jnp.arange(L, dtype=jnp.int32)[:, None].repeat(N, 1)
+
+    def scat_add(shape, idx_cols, vals, mask):
+        tgt = [lane] + idx_cols
+        flat_shape = (L,) + shape
+        out = jnp.zeros(flat_shape, jnp.int32)
+        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=tuple(
+                range(len(flat_shape))),
+            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
+        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
+                              vals.reshape(-1), dnums,
+                              mode=lax.GatherScatterMode.FILL_OR_DROP)
+        return out.reshape((B, S) + shape)
+
+    hl, sl, ev_l = flat(ones_n), flat(b_start), flat(b_ev)
+    m_ones = hl > 0
+    dn = lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=(0, 1, 2),
+        scatter_dims_to_operand_dims=(0, 1, 2))
+    delta = jnp.zeros((L, E, BITS + 1), jnp.int8)
+    idx_a = jnp.stack([jnp.where(m_ones, c, _BIG) for c in
+                       (lane, ev_l, jnp.clip(sl, 0, BITS))], axis=-1)
+    idx_b = jnp.stack([jnp.where(m_ones, c, _BIG) for c in
+                       (lane, ev_l, jnp.clip(sl + hl, 0, BITS))], axis=-1)
+    ones_v = jnp.ones((L * N,), jnp.int8)
+    delta = lax.scatter_add(delta, idx_a.reshape(-1, 3), ones_v, dn,
+                            mode=lax.GatherScatterMode.FILL_OR_DROP)
+    delta = lax.scatter_add(delta, idx_b.reshape(-1, 3), -ones_v, dn,
+                            mode=lax.GatherScatterMode.FILL_OR_DROP)
+    ind = (jnp.cumsum(delta, axis=-1,
+                      dtype=jnp.int8)[..., :BITS] > 0).astype(jnp.uint8)
+    w = (jnp.uint8(1) << (7 - jnp.arange(8, dtype=jnp.uint8)))
+    row0 = (ind.reshape(L, E, BY, 8) * w).sum(-1).astype(jnp.uint8)
+    bytes_ = jnp.zeros((B, S, E, R, BY), jnp.uint8)
+    bytes_ = bytes_.at[:, :, :, 0, :].set(row0.reshape(B, S, E, BY))
+
+    zl = flat(zeros_n)
+    bpr0 = scat_add((E,), [ev_l], hl + zl, hl + zl > 0)
+    bits_per_row = jnp.zeros((B, S, E, R), jnp.int32)
+    bits_per_row = bits_per_row.at[:, :, :, 0].set(bpr0)
+    num_rows = scat_add((E,), [flat(f_ev)], flat(f_rows), flat(flush))
+    syncs = jnp.zeros((B, S, E, R), jnp.int32)
+    return {"bytes": bytes_, "bits_per_row": bits_per_row, "syncs": syncs,
+            "num_rows": num_rows, "n_events": ev_f, "ovf": ovf}
+
+
+def nrzs_bounds(devices, sample_rate: int):
+    """Per-spec NRZS parameters [S]; integer-exact."""
+    return _timing_cols(devices, sample_rate, {
+        "short": lambda t: t["short"], "reset": lambda t: t["reset"]})
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def slice_nrzs(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
+    """Batched NRZS slicing: a pulse longer than the bit limit emits
+    ``pulse // limit`` ones then a zero; a shorter pulse one zero; an
+    exact-limit pulse nothing. Every reset gap (or the final pulse)
+    flushes an event — including empty ones, matching the host slicer."""
+    B, N = pulse.shape
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    BITS = BY * 8
+    sh = bounds["short"][None, :]
+    rst = bounds["reset"][None, :]
+    okm = bounds["ok"][None, :]
+
+    def step(carry, xs):
+        ev, bir, ovf = carry
+        p, g, valid, last = xs
+        p = p[:, None].astype(jnp.int32)
+        g = g[:, None].astype(jnp.int32)
+        act = valid[:, None] & okm
+        last = last[:, None]
+        h = jnp.where(act & (p > sh), p // jnp.maximum(sh, 1), 0)
+        z = jnp.where(act & (p != sh), 1, 0)
+        b_ev, b_start = ev, bir
+        bir2 = bir + h + z
+        flush = act & ((g >= rst) | last)
+        f_rows = jnp.where(bir2 > 0, 1, 0)
+        ev2 = jnp.where(flush, ev + 1, ev)
+        bir3 = jnp.where(flush, 0, bir2)
+        ovf2 = ovf | (bir2 > BITS) | (flush & (ev2 >= E))
+        ys = (h, z, b_ev, b_start, flush, ev, f_rows)
+        return (ev2, bir3, ovf2), ys
+
+    z0 = jnp.zeros((B, sh.shape[1]), jnp.int32)
+    iot = jnp.arange(N)[:, None]
+    valid = iot < n_pulses[None, :]
+    last = iot == (n_pulses[None, :] - 1)
+    carry, ys = lax.scan(step, (z0, z0, jnp.zeros_like(z0, bool)),
+                         (pulse.T, gap.T, valid, last))
+    ev_f, _b, ovf = carry
+    (h, zz, b_ev, b_start, flush, f_ev, f_rows) = ys
+    return _assemble_runs(B, sh.shape[1], N, SliceCaps(E, R, BY),
+                          h, zz, b_ev, b_start, flush, f_ev, f_rows,
+                          ev_f, ovf)
+
+
+def rzi_bounds(devices, sample_rate: int):
+    """Per-spec RZI parameters [S] (mirrors pulse/slicers.py slicer_rzi,
+    which bypasses _timings: zero-width check is per present field only)."""
+    cols = {k: [] for k in ("short", "long", "reset", "base", "ok")}
+    spu = np.float32(sample_rate) / np.float32(1.0e6)
+    for dev in devices:
+        s_short = int(np.float32(dev.short_width) * spu)
+        s_long = int(np.float32(dev.long_width) * spu)
+        s_reset = int(np.float32(dev.reset_limit) * spu)
+        bad = ((dev.short_width > 0 and s_short <= 0)
+               or (dev.long_width > 0 and s_long <= 0)
+               or (dev.reset_limit > 0 and s_reset <= 0)
+               or s_long <= 0)
+        for k, v in (("short", s_short), ("long", s_long),
+                     ("reset", s_reset), ("base", s_long - s_short),
+                     ("ok", not bad)):
+            cols[k].append(v)
+    return {k: np.asarray(v, bool if k == "ok" else np.int32)
+            for k, v in cols.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def slice_rzi(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
+    """Batched RZI slicing: each pulse emits ``round(high / long)`` ones
+    (the first pulse of a message without the base offset), each sub-reset
+    gap a zero; a reset gap or the final pulse flushes non-empty events."""
+    B, N = pulse.shape
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    BITS = BY * 8
+    lo = bounds["long"][None, :]
+    rst = bounds["reset"][None, :]
+    base = bounds["base"][None, :]
+    okm = bounds["ok"][None, :]
+
+    def step(carry, xs):
+        ev, bir, at_start, ovf = carry
+        p, g, valid, last = xs
+        p = p[:, None].astype(jnp.int32)
+        g = g[:, None].astype(jnp.int32)
+        act = valid[:, None] & okm
+        last = last[:, None]
+        num = jnp.where(at_start, p + lo // 2, p - base + lo // 2)
+        ones = jnp.where(act, jnp.maximum(num // jnp.maximum(lo, 1), 0), 0)
+        b_ev, b_start = ev, bir
+        bir2 = bir + ones
+        flush = act & ((g > rst) | last)
+        emitted = flush & (bir2 > 0)
+        zz = jnp.where(act & ~flush, 1, 0)
+        bir3 = jnp.where(flush, 0, bir2 + zz)
+        ev2 = jnp.where(emitted, ev + 1, ev)
+        at_start2 = jnp.where(act, flush, at_start)
+        f_rows = jnp.ones_like(ev)
+        ovf2 = ovf | (bir2 + zz > BITS) | (emitted & (ev2 >= E))
+        ys = (ones, zz, b_ev, b_start, emitted, ev, f_rows)
+        return (ev2, bir3, at_start2, ovf2), ys
+
+    z0 = jnp.zeros((B, lo.shape[1]), jnp.int32)
+    iot = jnp.arange(N)[:, None]
+    valid = iot < n_pulses[None, :]
+    last = iot == (n_pulses[None, :] - 1)
+    carry, ys = lax.scan(
+        step, (z0, z0, jnp.ones_like(z0, bool), jnp.zeros_like(z0, bool)),
+        (pulse.T, gap.T, valid, last))
+    ev_f, _b, _a, ovf = carry
+    (ones, zz, b_ev, b_start, emitted, f_ev, f_rows) = ys
+    return _assemble_runs(B, lo.shape[1], N, SliceCaps(E, R, BY),
+                          ones, zz, b_ev, b_start, emitted, f_ev, f_rows,
+                          ev_f, ovf)
+
+
+# ---------------------------------------------------------------------------
+# Oregon Scientific v1 — mirrors pulse/slicers.py slicer_osv1
+# (ref src/pulse_slicer.c:775-864)
+# ---------------------------------------------------------------------------
+
+def osv1_bounds(devices, sample_rate: int):
+    """Per-spec OSv1 parameters [S]; integer-exact."""
+    return _timing_cols(devices, sample_rate, {
+        "short": lambda t: t["short"], "reset": lambda t: t["reset"]})
+
+
+@functools.partial(jax.jit, static_argnames=("caps",))
+def slice_osv1(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
+    """Batched OSv1 slicing as a phase machine in the scan carry:
+    phase 0 counts the 12-pulse preamble (any out-of-window pulse aborts),
+    phase 1 validates the long sync pulse and emits the polarity 0-bit,
+    phase 2 walks half-bit Manchester transitions (a toggle emits a bit
+    whenever the toggled state is high), phase 3 is done/aborted. At most
+    one event per train, all bits in row 0."""
+    B, N = pulse.shape
+    S = bounds["short"].shape[0]
+    E, R, BY = caps.events, caps.rows, caps.row_bytes
+    BITS = BY * 8
+    sh = bounds["short"][None, :]
+    rst = bounds["reset"][None, :]
+    okm = bounds["ok"][None, :]
+    hmin = sh // 2
+    hmax = sh * 3 // 2
+    sync_min = 2 * hmax
+
+    def step(carry, xs):
+        phase, cnt, manbit, bir, touched, nev, ovf = carry
+        p, g, valid, last = xs
+        p = p[:, None].astype(jnp.int32)
+        g = g[:, None].astype(jnp.int32)
+        act = valid[:, None] & okm
+        last = last[:, None]
+        ph0 = act & (phase == 0)
+        ph1 = act & (phase == 1)
+        ph2 = act & (phase == 2)
+        # phase 0: preamble counting
+        pass0 = (p > hmin) & (g > hmin)
+        cnt2 = jnp.where(ph0 & pass0, cnt + 1, cnt)
+        brk = ph0 & pass0 & (g > hmax)
+        phase2_ = jnp.where(ph0 & ~pass0, 3, phase)
+        phase2_ = jnp.where(brk, jnp.where(cnt2 == 12, 1, 3), phase2_)
+        # phase 1: sync pulse + polarity bit
+        pass1 = (p >= sync_min) & (g >= sync_min)
+        phase3_ = jnp.where(ph1, jnp.where(pass1, 2, 3), phase2_)
+        sync0 = ph1 & pass1 & (g > p)
+        manbit2 = jnp.where(sync0, 1, manbit)
+        # phase 2: pulse-side 1 bits
+        m = manbit2
+        phit = p > hmax
+        c1 = ph2 & (phit | (m == 0))
+        mp = jnp.where(phit, m, 1 - m)
+        b1 = bir
+        bir2 = bir + c1
+        touched2 = touched | c1 | sync0
+        flush = ph2 & (last | (g > rst)) & touched2
+        # gap-side 0 bits (skipped on flush)
+        ghit = g > hmax
+        c0raw = ph2 & ~flush & (ghit | (mp == 0))
+        c0 = c0raw | sync0
+        b0 = bir2
+        bir3 = bir2 + c0
+        m3 = jnp.where(ph2 & ~flush, jnp.where(ghit, mp, 1 - mp),
+                       jnp.where(flush, mp, manbit2))
+        touched3 = touched2 | c0
+        phase4_ = jnp.where(flush, 3, phase3_)
+        nev2 = nev + flush
+        ovf2 = ovf | (bir3 > BITS)
+        ys = (c1, b1, c0, b0, flush)
+        return (phase4_, cnt2, m3, bir3, touched3, nev2, ovf2), ys
+
+    z = jnp.zeros((B, S), jnp.int32)
+    zb = jnp.zeros((B, S), bool)
+    iot = jnp.arange(N)[:, None]
+    valid = iot < n_pulses[None, :]
+    last = iot == (n_pulses[None, :] - 1)
+    carry, ys = lax.scan(step, (z, z, z, z, zb, z, zb),
+                         (pulse.T, gap.T, valid, last))
+    _ph, _c, _m, _b, _t, nev, ovf = carry
+    (c1, b1, c0, b0, flush) = ys
+
+    L = B * S
+
+    def flat(x):
+        return x.reshape(N, L).T
+
+    lane = jnp.arange(L, dtype=jnp.int32)[:, None].repeat(N, 1)
+
+    def scat(shape, idx_cols, vals, mask):
+        tgt = [lane] + idx_cols
+        flat_shape = (L,) + shape
+        out = jnp.zeros(flat_shape, jnp.int32)
+        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(), inserted_window_dims=tuple(
+                range(len(flat_shape))),
+            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
+        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
+                              vals.reshape(-1), dnums,
+                              mode=lax.GatherScatterMode.FILL_OR_DROP)
+        return out.reshape((B, S) + shape)
+
+    m1 = flat(c1)
+    bp1 = jnp.clip(flat(b1), 0, BITS - 1)
+    row0 = scat((BY,), [bp1 // 8],
+                jnp.ones_like(bp1) << (7 - bp1 % 8), m1)
+    bytes_ = jnp.zeros((B, S, E, R, BY), jnp.uint8)
+    bytes_ = bytes_.at[:, :, 0, 0, :].set(row0.astype(jnp.uint8))
+    nbits = (m1.sum(axis=1) + flat(c0).sum(axis=1)).reshape(B, S)
+    bits_per_row = jnp.zeros((B, S, E, R), jnp.int32)
+    bits_per_row = bits_per_row.at[:, :, 0, 0].set(nbits)
+    num_rows = jnp.zeros((B, S, E), jnp.int32)
+    num_rows = num_rows.at[:, :, 0].set(
+        jnp.where(nev > 0, 1, 0))
+    syncs = jnp.zeros((B, S, E, R), jnp.int32)
+    return {"bytes": bytes_, "bits_per_row": bits_per_row, "syncs": syncs,
+            "num_rows": num_rows, "n_events": nev, "ovf": ovf}

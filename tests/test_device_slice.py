@@ -431,3 +431,177 @@ def test_dmc_kernel_matches_python():
                         f"train {b} {dev.symbol} ev {e} row {r} content")
             checked += 1
     assert checked > 60, (checked, skipped)
+
+
+def _mod_devices(mod):
+    reg = Registry()
+    return [d for d in reg.slots
+            if d is not None and d.decode_fn and d.modulation == mod]
+
+
+def _pack(trains):
+    N = max(len(p) for p, g in trains)
+    B = len(trains)
+    pulse = np.zeros((B, N), np.int32)
+    gap = np.zeros((B, N), np.int32)
+    n_pulses = np.zeros((B,), np.int32)
+    for i, (p, g) in enumerate(trains):
+        pulse[i, :len(p)] = p
+        gap[i, :len(g)] = g
+        n_pulses[i] = len(p)
+    return pulse, gap, n_pulses
+
+
+def _check_vs_host(out, trains, devs, host_slicer, min_checked):
+    checked = skipped = 0
+    for b, (p, g) in enumerate(trains):
+        for s_i, dev in enumerate(devs):
+            if out["ovf"][b, s_i]:
+                skipped += 1
+                continue
+            pd = PulseData(sample_rate=RATE)
+            pd.pulse = list(p)
+            pd.gap = list(g)
+            want = host_slicer(pd, dev)
+            n_ev = int(out["n_events"][b, s_i])
+            assert n_ev == len(want), (
+                f"train {b} spec {dev.symbol}: {n_ev} != {len(want)}")
+            for e, bb in enumerate(want):
+                nr = int(out["num_rows"][b, s_i, e])
+                assert nr == bb.num_rows, (
+                    f"train {b} {dev.symbol} ev {e}: {nr} != {bb.num_rows}")
+                for r in range(nr):
+                    wb = int(bb.bits_per_row[r])
+                    assert int(out["bits_per_row"][b, s_i, e, r]) == wb, (
+                        f"train {b} {dev.symbol} ev {e} row {r} bits")
+                    nby = (wb + 7) // 8
+                    assert out["bytes"][b, s_i, e, r, :nby].tolist() == \
+                        bb.bb[r][:nby].tolist(), (
+                        f"train {b} {dev.symbol} ev {e} row {r} content")
+            checked += 1
+    assert checked >= min_checked, (checked, skipped)
+
+
+def test_piwm_dc_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import piwm_dc_bounds, slice_piwm_dc
+    rng = np.random.default_rng(101)
+    devs = _mod_devices("OOK_PULSE_PIWM_DC")
+    assert devs
+    trains = []
+    for i in range(30):
+        dev = devs[i % len(devs)]
+        spu = RATE / 1e6
+        s = max(1, int(dev.short_width * spu))
+        lg = max(1, int(dev.long_width * spu))
+        rst = max(2, int(dev.reset_limit * spu))
+        k = int(rng.integers(6, 60))
+        pulses, gaps = [], []
+        for _ in range(k):
+            pw = [s, s, lg, lg, int(lg * 1.7)][int(rng.integers(5))]
+            gw = [s, s, lg, lg, rst + 5][int(rng.integers(5))]
+            pulses.append(max(1, int(pw * (1 + rng.uniform(-0.1, 0.1)))))
+            gaps.append(max(1, int(gw * (1 + rng.uniform(-0.1, 0.1)))))
+        gaps[-1] = rst * 2 + 10
+        trains.append((pulses, gaps))
+    pulse, gap, n_pulses = _pack(trains)
+    bounds = piwm_dc_bounds(devs, RATE)
+    caps = SliceCaps(events=8, rows=24, row_bytes=20)
+    out = {k: np.asarray(v) for k, v in
+           slice_piwm_dc(pulse, gap, n_pulses, bounds, caps).items()}
+    _check_vs_host(out, trains, devs, slicers.slicer_piwm_dc, 40)
+
+
+def test_nrzs_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import nrzs_bounds, slice_nrzs
+    rng = np.random.default_rng(103)
+    devs = _mod_devices("OOK_PULSE_NRZS")
+    assert devs
+    trains = []
+    for i in range(24):
+        dev = devs[i % len(devs)]
+        spu = RATE / 1e6
+        s = max(1, int(dev.short_width * spu))
+        rst = max(2, int(dev.reset_limit * spu))
+        k = int(rng.integers(6, 30))
+        pulses, gaps = [], []
+        for _ in range(k):
+            # exercise the ==limit no-bit branch, sub- and multi-bit runs
+            pw = [s, s - 1, s + 1, s * 3, s * 7][int(rng.integers(5))]
+            gw = [s, s * 2, rst + 3][int(rng.integers(3))]
+            pulses.append(max(1, pw))
+            gaps.append(max(1, gw))
+        gaps[-1] = rst + 10
+        trains.append((pulses, gaps))
+    pulse, gap, n_pulses = _pack(trains)
+    bounds = nrzs_bounds(devs, RATE)
+    caps = SliceCaps(events=16, rows=16, row_bytes=40)
+    out = {k: np.asarray(v) for k, v in
+           slice_nrzs(pulse, gap, n_pulses, bounds, caps).items()}
+    _check_vs_host(out, trains, devs, slicers.slicer_nrzs, 18)
+
+
+def test_rzi_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import rzi_bounds, slice_rzi
+    rng = np.random.default_rng(107)
+    devs = _mod_devices("OOK_PULSE_RZI")
+    assert devs
+    trains = []
+    for i in range(24):
+        dev = devs[i % len(devs)]
+        spu = RATE / 1e6
+        s = max(1, int(dev.short_width * spu))
+        lg = max(1, int(dev.long_width * spu))
+        rst = max(2, int(dev.reset_limit * spu))
+        k = int(rng.integers(6, 30))
+        pulses, gaps = [], []
+        for _ in range(k):
+            pw = [s, lg, lg * 2, lg * 3, max(1, s // 2)][int(rng.integers(5))]
+            gw = [s, lg, rst + 3][int(rng.integers(3))]
+            pulses.append(max(1, int(pw * (1 + rng.uniform(-0.1, 0.1)))))
+            gaps.append(max(1, gw))
+        gaps[-1] = rst + 10
+        trains.append((pulses, gaps))
+    pulse, gap, n_pulses = _pack(trains)
+    bounds = rzi_bounds(devs, RATE)
+    caps = SliceCaps(events=16, rows=16, row_bytes=40)
+    out = {k: np.asarray(v) for k, v in
+           slice_rzi(pulse, gap, n_pulses, bounds, caps).items()}
+    _check_vs_host(out, trains, devs, slicers.slicer_rzi, 18)
+
+
+def test_osv1_kernel_matches_python():
+    from rtl_433_tpu.ops.slice import osv1_bounds, slice_osv1
+    rng = np.random.default_rng(109)
+    devs = _mod_devices("OOK_PULSE_PWM_OSV1")
+    assert devs
+    dev = devs[0]
+    spu = RATE / 1e6
+    s = max(1, int(dev.short_width * spu))
+    rst = max(2, int(dev.reset_limit * spu))
+    hmax = s * 3 // 2
+    sync = 2 * hmax + 5
+    trains = []
+    for i in range(30):
+        pulses, gaps = [], []
+        npre = 12 if i % 4 else int(rng.integers(8, 15))
+        for j in range(npre):
+            pulses.append(int(s * (1 + rng.uniform(-0.2, 0.2))))
+            g = int(s * (1 + rng.uniform(-0.2, 0.2)))
+            gaps.append(min(g, hmax) if j < npre - 1 else hmax + 3)
+        if i % 5 == 3:  # corrupt preamble pulse (abort path)
+            pulses[int(rng.integers(npre))] = max(1, s // 4)
+        pulses.append(sync + int(rng.integers(0, 20)))
+        gaps.append(sync + int(rng.integers(0, 20))
+                    if i % 7 else max(1, s))  # occasional bad sync gap
+        k = int(rng.integers(8, 40))
+        for _ in range(k):
+            pulses.append([s, 2 * s][int(rng.integers(2))])
+            gaps.append([s, 2 * s][int(rng.integers(2))])
+        gaps[-1] = rst + 10
+        trains.append((pulses, gaps))
+    pulse, gap, n_pulses = _pack(trains)
+    bounds = osv1_bounds(devs, RATE)
+    caps = SliceCaps(events=4, rows=16, row_bytes=40)
+    out = {k: np.asarray(v) for k, v in
+           slice_osv1(pulse, gap, n_pulses, bounds, caps).items()}
+    _check_vs_host(out, trains, devs, slicers.slicer_osv1, 25)
