@@ -188,24 +188,20 @@ def main():
     # asserted zero below (the transfer scales with this cap)
     cap = int(os.environ.get("BENCH_PKG_CAP", "768"))
 
-    # log_cap bounds the kept records fed to the publish scatters, whose
-    # cost is data-independent (~C*log_cap); the workload's densest
-    # channel uses ~200 records/block, overflow is asserted zero below
-    log_cap = int(os.environ.get("BENCH_LOG_CAP", "512"))
+    # arena bounds the gather-compacted records fed to the publish
+    # scatters (~50-150 records/burst, ~256 bursts/block on this
+    # workload); overflow is asserted zero below
+    arena = int(os.environ.get("BENCH_ARENA", "65536"))
     params = DetectorParams(sample_rate=250_000, fsk_minmax=False,
                             enable_fm=True, unroll=16 if on_tpu else 1,
                             chunk=128,
                             ring=8,
                             eops=2,
-                            log_cap=log_cap,
+                            arena=arena,
                             pallas_frontend=on_tpu)
 
     registry = Registry()
     registry.register_all()
-    if os.environ.get("BENCH_DEVICE_SLICE") == "1":
-        # batch (package, spec) slicing on the accelerator before the
-        # per-package dispatch loop (decoders/device_dispatch.py)
-        registry.device_slice = True
 
     def make_step(p):
         def step_fn(state, iq):
@@ -318,32 +314,29 @@ def main():
             })
             print(f"best so far: {msps:.1f} MS/s ({tag})", file=sys.stderr)
 
-    # flat-arena publish variant: the record->slot scatters cost
-    # O(C*log_cap) updates; flat_pub compacts globally first
-    # (engine._drain_block). Unmeasurable off-TPU, so measure both on
-    # hardware and report the faster pipeline. BENCH_FLAT_PUB: auto
-    # (measure both), 0 (scatter only), anything else forces flat only.
-    flat_cap = int(os.environ.get("BENCH_FLAT_ARENA", "65536"))
-    flat_mode = os.environ.get("BENCH_FLAT_PUB", "auto")
-    variants = [("scatter-pub", jstep)]
-    if flat_cap > 0 and flat_mode != "0":
-        try:
-            jstep_flat = make_step(params._replace(flat_pub=flat_cap))
-            variants.append(("flat-pub", jstep_flat))
-            if flat_mode not in ("auto",):
-                variants = [("flat-pub", jstep_flat)]
-                print("flat-arena publish forced on", file=sys.stderr)
-        except Exception as e:  # compile/OOM: keep the scatter path
-            print(f"flat-arena publish unavailable: {e!r}", file=sys.stderr)
+    # Host-dispatch A/B (VERDICT r3 item 1): the device step is identical;
+    # the variants differ in how the host decodes the compacted packages —
+    # per-package native batch slicing vs device-kernel slicing batched
+    # across the drain (decoders/device_dispatch.py). BENCH_DEVICE_SLICE:
+    # auto (measure both), 0 (host only), 1 (device-slice only).
+    ds_mode = os.environ.get("BENCH_DEVICE_SLICE", "auto")
+    variants = []
+    if ds_mode != "1":
+        variants.append(("host-slice", False))
+    if ds_mode != "0":
+        variants.append(("device-slice", True))
 
     # measure each variant fully; a later variant hanging can never erase
     # an earlier completed number (the watchdog reports _BEST)
-    for vi, (tag, step_fn) in enumerate(variants):
+    for vi, (tag, dev_slice) in enumerate(variants):
+        registry.device_slice = dev_slice
         if vi > 0:
-            for rr in range(rotations):  # compile + warm the new step
-                state, comp = step_fn(state, blocks[rr])
-            jax.device_get(comp)
-        msps_v, state = measure(step_fn, state, tag)
+            # warm the decode caches for the new dispatch mode
+            for rr in range(rotations):
+                state, comp = jstep(state, blocks[rr])
+                host_decode(jax.device_get(comp))
+            events.clear()
+        msps_v, state = measure(jstep, state, tag)
         record(msps_v, tag)
 
     watchdog.cancel()

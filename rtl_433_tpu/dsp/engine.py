@@ -96,17 +96,14 @@ class DetectorParams(NamedTuple):
                                       # compiles large bodies superlinearly)
     pallas_frontend: bool = False     # fused Pallas kernel for the AM/FM
                                       # estimators + IIRs (TPU; bit-exact)
-    log_cap: int = 2048               # kept records per channel per block
-                                      # fed to the publish scatters (~31%
-                                      # duty at 20-sample pulses; overflow
-                                      # counts into n_ring_ovf)
-    flat_pub: int = 0                 # >0: globally compact kept records
-                                      # into one flat arena of this many
-                                      # slots before the record->slot
-                                      # scatters, so scatter cost scales
-                                      # with ACTUAL records instead of
-                                      # C*log_cap (the publish wall on
-                                      # sparse-signal blocks); 0 = off
+    arena: int = 32768                # global record-arena slots per block:
+                                      # every committed pulse/gap record in
+                                      # the block, across ALL channels, is
+                                      # gather-compacted into this flat
+                                      # arena before the publish scatters,
+                                      # so publish cost scales with actual
+                                      # records, not C*log (overflow counts
+                                      # into n_ring_ovf)
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -637,12 +634,15 @@ def _fsk_minmax(r, fm, gate):
 # The FSM commits at most one record per sample into a small per-chunk
 # ring; the chunk scan EMITS each chunk's ring as a scan output (ys), so
 # the stacked [n_chunks, C, R] log costs nothing to build (no carried
-# buffers, no scatters in the loop). ONE end-of-block pass dedups the log
-# (FSK-rewind recommits are near-adjacent: a shifted-compare keep-last
-# suffices) and publishes via TWO record->slot scatters plus a carry
-# rebuild — replacing both the old per-chunk scatter drain (4.4 s/block
-# signal-dense) and a binary-search publish (searchsorted lowers to
-# ~0.6 s per lookup batch on TPU).
+# buffers, no scatters in the loop). ONE end-of-block pass gather-compacts
+# the log into a flat [arena] record list (ranks via cumsums — ring writes
+# are front-compacted per chunk, so no sort is needed), dedups it
+# (FSK-rewind recommits are near-adjacent on the compacted list: a
+# shifted-compare keep-last suffices) and publishes via record->slot
+# scatters of `arena` updates plus a carry rebuild — replacing the old
+# per-chunk scatter drain (4.4 s/block signal-dense) and the round-2/3
+# per-channel compaction whose scatters cost C*log_cap updates per block
+# (~1.9 s/block at 4096 channels: the publish wall).
 #
 # Record key layout (int32; process_block segments blocks over 2^17
 # samples so relgen < 2^16 always fits):
@@ -675,56 +675,77 @@ def _ring_keys(r, gen0):
     return jnp.where(valid, key, _KEY_INVALID)
 
 
-def _keep_last(log_key):
-    """Keep-last dedup on a validity-COMPACTED log: a record is dead if a
-    later record within the next _DEDUP_WINDOW slots carries the same key.
-    Callers must compact empty slots away first so that duplicate distance
-    is bounded by intervening commits (<= rewind history depth 4), not by
-    chunk-boundary padding."""
-    C, S = log_key.shape
-    keep = log_key < _KEY_INVALID
-    for d in range(1, _DEDUP_WINDOW + 1):
-        nxt = jnp.concatenate(
-            [log_key[:, d:], jnp.full((C, d), -1, log_key.dtype)], axis=1)
-        keep = keep & (log_key != nxt)
-    return keep
-
-
 def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
                  gen0):
     """End-of-block publish + carry rebuild (no per-chunk work).
 
     log_key/log_p/log_g: [C, S] record log in temporal order;
     eop_log: [C, Et, META_FIELDS] EOP metadata in temporal order.
+
+    The log is compacted into a flat [arena] record list by GATHERS, not
+    sorts/scatters: ring writes are front-compacted within each chunk's
+    R-slot group (the one-hot write position starts at 0 every chunk), so
+    every record's rank is computable from two exclusive cumsums (records
+    per group, records per channel) — no argsort over [C, S], and the
+    publish scatters shrink from C*S updates to `arena` updates. This is
+    what lets the publish pass run at the record count (~1e4/block) instead
+    of the log capacity (~3e7/block) — the round-2/3 "publish wall".
     """
     C, S = log_key.shape
     cap = params.pkg_cap
     mp = params.max_pulses
     gshift = 1 << _KEY_IDX_BITS
+    R = params.ring
+    # callers emit whole R-wide ring groups (flush rows are padded to R)
+    assert S % R == 0, "record log must be chunk-group aligned"
+    G = S // R
+    F = params.arena
 
-    # Compact valid records to [C, K] FIRST: a stable argsort on validity
-    # moves live records to the front (temporal order preserved); the
-    # scatter cost below scales with the update count, and most log slots
-    # are empty. Overflow beyond K is counted, not silently dropped.
-    # Dedup runs AFTER compaction: on the gap-free log an FSK-rewind
-    # recommit sits within _DEDUP_WINDOW of the record it replaces, whereas
-    # in the raw log it can be arbitrarily far away (each crossed chunk
-    # boundary inserts up to `ring` empty slots).
-    valid = log_key < _KEY_INVALID
-    K = min(params.log_cap, log_key.shape[1])
-    order = jnp.argsort(jnp.where(valid, 0, 1).astype(jnp.int8), axis=1,
-                        stable=True)[:, :K]
-    valid_n = jnp.sum(valid, axis=1).astype(jnp.int32)
-    r["n_ring_ovf"] = r["n_ring_ovf"] + jnp.maximum(valid_n - K, 0)
-    log_key = jnp.take_along_axis(log_key, order, axis=1)
-    log_p = jnp.take_along_axis(log_p, order, axis=1)
-    log_g = jnp.take_along_axis(log_g, order, axis=1)
-    keep = (lax.broadcasted_iota(jnp.int32, (C, K), 1) < valid_n[:, None]) \
-        & _keep_last(log_key)
-    S = K
+    # ---- record ranks from cumsums (no sort). Within a group, valid slots
+    # occupy positions 0..w-1 in temporal order; groups are temporal too.
+    valid = (log_key < _KEY_INVALID).reshape(C, G, R)
+    w = jnp.sum(valid, axis=2, dtype=jnp.int32)          # [C, G]
+    gbase = jnp.cumsum(w, axis=1) - w                    # exclusive, [C, G]
+    counts = gbase[:, -1] + w[:, -1]                     # [C]
+    bases = jnp.cumsum(counts) - counts                  # exclusive, [C]
+    total = bases[-1] + counts[-1]
+    r["n_ring_ovf"] = r["n_ring_ovf"].at[0].add(jnp.maximum(total - F, 0))
 
-    rec_fsk = (log_key // _KEY_FSK_SHIFT).astype(jnp.int32)
-    rem = log_key - rec_fsk * _KEY_FSK_SHIFT
+    # ---- gather-compact live records into the flat arena (channel-major,
+    # temporal within channel — the same order the per-channel compaction
+    # used, so the dedup window argument at _DEDUP_WINDOW still holds)
+    j = jnp.arange(F, dtype=jnp.int32)
+    ok_j = j < jnp.minimum(total, F)
+    c_of = jnp.clip(jnp.searchsorted(bases, j, side="right").astype(
+        jnp.int32) - 1, 0, C - 1)
+    q = j - bases[c_of]
+    # rightmost group k with gbase[c_of, k] <= q (gbase[:, 0] == 0 <= q)
+    gb_flat = gbase.reshape(-1)
+    lo = jnp.zeros_like(j)
+    hi = jnp.full_like(j, G - 1)
+    for _ in range(max(1, (G - 1).bit_length())):
+        mid = (lo + hi + 1) // 2
+        le = gb_flat[c_of * G + mid] <= q
+        lo = jnp.where(le, mid, lo)
+        hi = jnp.where(le, hi, mid - 1)
+    k_of = lo
+    i_of = q - gb_flat[c_of * G + k_of]
+    src = jnp.clip(c_of * S + k_of * R + i_of, 0, C * S - 1)
+    a_key = jnp.where(ok_j, log_key.reshape(-1)[src], _KEY_INVALID)
+    a_p = log_p.reshape(-1)[src]
+    a_g = log_g.reshape(-1)[src]
+
+    # keep-last dedup on the compacted arena (FSK-rewind recommits recur
+    # within _DEDUP_WINDOW intervening commits; channel runs are contiguous
+    # so a same-key match in another channel is excluded by comparing c_of)
+    keep = a_key < _KEY_INVALID
+    for d in range(1, _DEDUP_WINDOW + 1):
+        nk = jnp.concatenate([a_key[d:], jnp.full((d,), -1, a_key.dtype)])
+        nc = jnp.concatenate([c_of[d:], jnp.full((d,), -1, c_of.dtype)])
+        keep = keep & ~((a_key == nk) & (c_of == nc))
+
+    rec_fsk = (a_key // _KEY_FSK_SHIFT).astype(jnp.int32)
+    rem = a_key - rec_fsk * _KEY_FSK_SHIFT
     rec_relg = rem // gshift
     rec_idx = rem - rec_relg * gshift
 
@@ -772,12 +793,12 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
             jnp.where(hasn, fb_g, r["out_g"][:, s, :]))
     r["out_n"] = new_out_n
 
-    # record -> slot mapping, then ONE scatter each for pulses and gaps
-    match = (has_tab[:, None, :]
-             & (side_tab[:, None, :] == rec_fsk[:, :, None])
-             & (relg_tab[:, None, :] == rec_relg[:, :, None]))  # [C, S, cap]
-    rec_slot = jnp.where(jnp.any(match, axis=2),
-                         jnp.argmax(match, axis=2), cap)
+    # record -> slot mapping on the arena ([F, cap] compare — cap is tiny)
+    match = (has_tab[c_of]
+             & (side_tab[c_of] == rec_fsk[:, None])
+             & (relg_tab[c_of] == rec_relg[:, None]))          # [F, cap]
+    rec_slot = jnp.where(jnp.any(match, axis=1),
+                         jnp.argmax(match, axis=1), cap)
     rec_slot = jnp.where(keep, rec_slot, cap)                 # OOB -> drop
 
     # carry rebuild: the still-open package's records (gen after the scan)
@@ -785,79 +806,29 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
     keep_carry = (rel_last == 0)[:, None, None]
     r["carry_p"] = jnp.where(keep_carry, r["carry_p"], 0)
     r["carry_g"] = jnp.where(keep_carry, r["carry_g"], 0)
-    is_open = keep & (rec_relg == rel_last[:, None])
+    is_open = keep & (rec_relg == rel_last[c_of])
     carry_side = jnp.where(is_open, rec_fsk, 2)               # OOB -> drop
 
     dnums = lax.ScatterDimensionNumbers(
         update_window_dims=(), inserted_window_dims=(0, 1, 2),
         scatter_dims_to_operand_dims=(0, 1, 2))
-    c_iota = lax.broadcasted_iota(jnp.int32, (C, S), 0)
-
-    if params.flat_pub > 0:
-        # Flat-arena publish: the per-channel scatters above cost
-        # O(C * log_cap) updates whether or not slots hold records (the
-        # publish wall — most channels are quiet most blocks). Globally
-        # front-compact records that go ANYWHERE (a slot or the carry)
-        # into one [flat_pub] arena via counts -> exclusive bases ->
-        # searchsorted ownership, then scatter only actual records.
-        F = params.flat_pub
-        live = (rec_slot < cap) | (carry_side < 2)
-        order2 = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int8),
-                             axis=1, stable=True)
-        fp = jnp.take_along_axis(log_p, order2, axis=1)
-        fg = jnp.take_along_axis(log_g, order2, axis=1)
-        fslot = jnp.take_along_axis(rec_slot, order2, axis=1)
-        fcarry = jnp.take_along_axis(carry_side, order2, axis=1)
-        fidx = jnp.take_along_axis(rec_idx.astype(jnp.int32), order2,
-                                   axis=1)
-        counts = jnp.sum(live, axis=1).astype(jnp.int32)       # [C]
-        bases = jnp.cumsum(counts) - counts                    # exclusive
-        total = bases[-1] + counts[-1]
-        r["n_ring_ovf"] = r["n_ring_ovf"].at[0].add(
-            jnp.maximum(total - F, 0))
-        j = jnp.arange(F, dtype=jnp.int32)
-        c_of = jnp.searchsorted(bases, j, side="right").astype(
-            jnp.int32) - 1
-        k_in = j - bases[c_of]
-        ok_j = j < jnp.minimum(total, F)
-        av = fp[c_of, k_in]
-        ag = fg[c_of, k_in]
-        aidx = fidx[c_of, k_in]
-        arow = jnp.where(ok_j, c_of, C)                        # OOB -> drop
-        scat = jnp.stack([arow, fslot[c_of, k_in], aidx], axis=-1)
-        r["out_p"] = lax.scatter(r["out_p"], scat, av, dnums,
-                                 unique_indices=True,
-                                 mode=lax.GatherScatterMode.FILL_OR_DROP)
-        r["out_g"] = lax.scatter(r["out_g"], scat, ag, dnums,
-                                 unique_indices=True,
-                                 mode=lax.GatherScatterMode.FILL_OR_DROP)
-        scat2 = jnp.stack([arow, fcarry[c_of, k_in], aidx], axis=-1)
-        r["carry_p"] = lax.scatter(r["carry_p"], scat2, av, dnums,
-                                   unique_indices=True,
-                                   mode=lax.GatherScatterMode.FILL_OR_DROP)
-        r["carry_g"] = lax.scatter(r["carry_g"], scat2, ag, dnums,
-                                   unique_indices=True,
-                                   mode=lax.GatherScatterMode.FILL_OR_DROP)
-        return r
-
-    scat = jnp.stack([c_iota.reshape(-1), rec_slot.reshape(-1),
-                      rec_idx.astype(jnp.int32).reshape(-1)], axis=-1)
     # deduped records have unique in-bounds targets; the unique promise
     # lets XLA vectorize the scatter instead of serializing updates
-    r["out_p"] = lax.scatter(r["out_p"], scat, log_p.reshape(-1), dnums,
+    scat = jnp.stack([jnp.where(keep, c_of, C), rec_slot, rec_idx], axis=-1)
+    r["out_p"] = lax.scatter(r["out_p"], scat, a_p, dnums,
                              unique_indices=True,
                              mode=lax.GatherScatterMode.FILL_OR_DROP)
-    r["out_g"] = lax.scatter(r["out_g"], scat, log_g.reshape(-1), dnums,
+    r["out_g"] = lax.scatter(r["out_g"], scat, a_g, dnums,
                              unique_indices=True,
                              mode=lax.GatherScatterMode.FILL_OR_DROP)
 
-    scat2 = jnp.stack([c_iota.reshape(-1), carry_side.reshape(-1),
-                       rec_idx.astype(jnp.int32).reshape(-1)], axis=-1)
-    r["carry_p"] = lax.scatter(r["carry_p"], scat2, log_p.reshape(-1),
-                               dnums, unique_indices=True,
+    scat2 = jnp.stack([jnp.where(keep, c_of, C), carry_side, rec_idx],
+                      axis=-1)
+    r["carry_p"] = lax.scatter(r["carry_p"], scat2, a_p, dnums,
+                               unique_indices=True,
                                mode=lax.GatherScatterMode.FILL_OR_DROP)
-    r["carry_g"] = lax.scatter(r["carry_g"], scat2, log_g.reshape(-1),
-                               dnums, unique_indices=True,
+    r["carry_g"] = lax.scatter(r["carry_g"], scat2, a_g, dnums,
+                               unique_indices=True,
                                mode=lax.GatherScatterMode.FILL_OR_DROP)
     return r
 
@@ -1216,8 +1187,10 @@ def _flush(params: DetectorParams, r, N, gen0):
     r["eop_meta"] = r["eop_meta"].at[:, 0, :].set(meta)
     r["eop_wpos"] = pub.astype(jnp.int32)
 
-    key_row = _ring_keys(r, gen0)[:, :1]
-    frow = (key_row, r["ring_p"][:, :1], r["ring_g"][:, :1],
+    # return the FULL R-wide ring group (slots >= 1 are invalid-key padding)
+    # so appending frow to the block log keeps it chunk-group aligned for
+    # the drain's cumsum-rank compaction
+    frow = (_ring_keys(r, gen0), r["ring_p"], r["ring_g"],
             r["eop_meta"][:, :1, :])
     r["ook_state"] = jnp.where(in_pulse | eff_gap_start | (st == ST_GAP) | spur_gap,
                                ST_IDLE, r["ook_state"])

@@ -129,6 +129,29 @@ def pwm_bounds(devices, sample_rate: int):
             for k, v in cols.items()}
 
 
+def _lane_scatter_add(B, S, shape, idx_cols, vals, mask):
+    """Masked scatter-add over the flattened B*S lane grid (the shared
+    assembly primitive of every slicer kernel): prepends the lane
+    coordinate, routes masked-out updates to an out-of-bounds index
+    (FILL_OR_DROP discards them), and returns [B, S, *shape] int32 sums.
+    idx_cols/vals/mask are [L, K] with L = B*S."""
+    L = B * S
+    lane = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None],
+                            mask.shape)
+    tgt = [lane] + list(idx_cols)
+    flat_shape = (L,) + shape
+    out = jnp.zeros(flat_shape, jnp.int32)
+    idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(), inserted_window_dims=tuple(
+            range(len(flat_shape))),
+        scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
+    out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
+                          vals.reshape(-1), dnums,
+                          mode=lax.GatherScatterMode.FILL_OR_DROP)
+    return out.reshape((B, S) + shape)
+
+
 def _assemble(ys, n_ev, ovf, caps: SliceCaps):
     """Scan outputs -> packed bitbuffers + summaries via scatter-adds."""
     E, R, BY = caps.events, caps.rows, caps.row_bytes
@@ -141,22 +164,8 @@ def _assemble(ys, n_ev, ovf, caps: SliceCaps):
     def flat(x):
         return x.reshape(N, B * S).T          # [L, N]
 
-    L = B * S
-    lane = jnp.arange(L, dtype=jnp.int32)[:, None].repeat(N, 1)
-
     def scat(shape, idx_cols, vals, mask):
-        tgt = [lane] + idx_cols
-        flat_shape = (L,) + shape
-        out = jnp.zeros(flat_shape, jnp.int32)
-        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=(), inserted_window_dims=tuple(
-                range(len(flat_shape))),
-            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
-        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
-                              vals.reshape(-1), dnums,
-                              mode=lax.GatherScatterMode.FILL_OR_DROP)
-        return out.reshape((B, S) + shape)
+        return _lane_scatter_add(B, S, shape, idx_cols, vals, mask)
 
     m_bit = flat(is_bit)
     bytes_ = scat((E, R, BY),
@@ -570,18 +579,7 @@ def slice_pcm(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
     lane = jnp.arange(L, dtype=jnp.int32)[:, None].repeat(N, 1)
 
     def scat_add(shape, idx_cols, vals, mask):
-        tgt = [lane] + idx_cols
-        flat_shape = (L,) + shape
-        out = jnp.zeros(flat_shape, jnp.int32)
-        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=(), inserted_window_dims=tuple(
-                range(len(flat_shape))),
-            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
-        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
-                              vals.reshape(-1), dnums,
-                              mode=lax.GatherScatterMode.FILL_OR_DROP)
-        return out.reshape((B, S) + shape)
+        return _lane_scatter_add(B, S, shape, idx_cols, vals, mask)
 
     m_flush = flat(flush)
     # final segment id per (lane, event); -1 for never-flushed events
@@ -741,22 +739,8 @@ def slice_mc(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
     def cat(*xs):
         return jnp.concatenate([flat(x) for x in xs], axis=1)  # [L, kN]
 
-    lane_k = jnp.arange(L, dtype=jnp.int32)[:, None]
-
     def scat(shape, idx_cols, vals, mask):
-        k = mask.shape[1]
-        tgt = [jnp.broadcast_to(lane_k, (L, k))] + idx_cols
-        flat_shape = (L,) + shape
-        out = jnp.zeros(flat_shape, jnp.int32)
-        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=(), inserted_window_dims=tuple(
-                range(len(flat_shape))),
-            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
-        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
-                              vals.reshape(-1), dnums,
-                              mode=lax.GatherScatterMode.FILL_OR_DROP)
-        return out.reshape((B, S) + shape)
+        return _lane_scatter_add(B, S, shape, idx_cols, vals, mask)
 
     zero_n = jnp.zeros_like(e1b)
     m_all = cat(c1, c2, c3, flush)            # flush slot = next ev's lead 0
@@ -955,18 +939,7 @@ def _assemble_runs(B, S, N, caps: SliceCaps, ones_n, zeros_n, b_ev, b_start,
     lane = jnp.arange(L, dtype=jnp.int32)[:, None].repeat(N, 1)
 
     def scat_add(shape, idx_cols, vals, mask):
-        tgt = [lane] + idx_cols
-        flat_shape = (L,) + shape
-        out = jnp.zeros(flat_shape, jnp.int32)
-        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=(), inserted_window_dims=tuple(
-                range(len(flat_shape))),
-            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
-        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
-                              vals.reshape(-1), dnums,
-                              mode=lax.GatherScatterMode.FILL_OR_DROP)
-        return out.reshape((B, S) + shape)
+        return _lane_scatter_add(B, S, shape, idx_cols, vals, mask)
 
     hl, sl, ev_l = flat(ones_n), flat(b_start), flat(b_ev)
     m_ones = hl > 0
@@ -1001,9 +974,15 @@ def _assemble_runs(B, S, N, caps: SliceCaps, ones_n, zeros_n, b_ev, b_start,
 
 
 def nrzs_bounds(devices, sample_rate: int):
-    """Per-spec NRZS parameters [S]; integer-exact."""
-    return _timing_cols(devices, sample_rate, {
+    """Per-spec NRZS parameters [S]; integer-exact. A non-positive
+    resolved bit limit is flagged not-ok (mirroring rzi_bounds' s_long
+    guard): the kernel's guarded division would otherwise emit p//1 ones
+    per pulse, overflow, and drop the lane to the host slicer_nrzs which
+    divides by zero."""
+    cols = _timing_cols(devices, sample_rate, {
         "short": lambda t: t["short"], "reset": lambda t: t["reset"]})
+    cols["ok"] = cols["ok"] & (cols["short"] > 0)
+    return cols
 
 
 @functools.partial(jax.jit, static_argnames=("caps",))
@@ -1211,21 +1190,8 @@ def slice_osv1(pulse, gap, n_pulses, bounds, caps: SliceCaps = SliceCaps()):
     def flat(x):
         return x.reshape(N, L).T
 
-    lane = jnp.arange(L, dtype=jnp.int32)[:, None].repeat(N, 1)
-
     def scat(shape, idx_cols, vals, mask):
-        tgt = [lane] + idx_cols
-        flat_shape = (L,) + shape
-        out = jnp.zeros(flat_shape, jnp.int32)
-        idx = jnp.stack([jnp.where(mask, c, _BIG) for c in tgt], axis=-1)
-        dnums = lax.ScatterDimensionNumbers(
-            update_window_dims=(), inserted_window_dims=tuple(
-                range(len(flat_shape))),
-            scatter_dims_to_operand_dims=tuple(range(len(flat_shape))))
-        out = lax.scatter_add(out, idx.reshape(-1, len(flat_shape)),
-                              vals.reshape(-1), dnums,
-                              mode=lax.GatherScatterMode.FILL_OR_DROP)
-        return out.reshape((B, S) + shape)
+        return _lane_scatter_add(B, S, shape, idx_cols, vals, mask)
 
     m1 = flat(c1)
     bp1 = jnp.clip(flat(b1), 0, BITS - 1)

@@ -226,14 +226,14 @@ def test_wide_drain_interval_invariance():
         assert x["ook_low_estimate"] == y["ook_low_estimate"]
 
 
-def test_flat_publish_invariance():
-    """flat_pub (global record compaction before the publish scatters)
-    must be bit-identical to the per-channel scatter path, including
-    FSK-rewind recommits and cross-block carries."""
+def test_arena_size_invariance():
+    """The publish arena size only bounds capacity (overflow is counted) —
+    any size that holds the block's records must produce bit-identical
+    packages, including FSK-rewind recommits and cross-block carries."""
     for sig_fn, fsk in ((PWM_SIG, False), (FSK_SIG, False), (_rewind_sig, False)):
         iq = sig_fn()
         base = DetectorParams(fsk_minmax=fsk)
-        flat = DetectorParams(fsk_minmax=fsk, flat_pub=4096)
+        flat = DetectorParams(fsk_minmax=fsk, arena=1024)
         for blk in (None, 10_000):
             a = run_engine(iq, base, block_len=blk)
             b = run_engine(iq, flat, block_len=blk)

@@ -501,7 +501,8 @@ def test_piwm_dc_kernel_matches_python():
             gw = [s, s, lg, lg, rst + 5][int(rng.integers(5))]
             pulses.append(max(1, int(pw * (1 + rng.uniform(-0.1, 0.1)))))
             gaps.append(max(1, int(gw * (1 + rng.uniform(-0.1, 0.1)))))
-        gaps[-1] = rst * 2 + 10
+        if i % 3:  # sub-reset final gap on 1/3: end-of-train flush branch
+            gaps[-1] = rst * 2 + 10
         trains.append((pulses, gaps))
     pulse, gap, n_pulses = _pack(trains)
     bounds = piwm_dc_bounds(devs, RATE)
@@ -530,7 +531,8 @@ def test_nrzs_kernel_matches_python():
             gw = [s, s * 2, rst + 3][int(rng.integers(3))]
             pulses.append(max(1, pw))
             gaps.append(max(1, gw))
-        gaps[-1] = rst + 10
+        if i % 3:  # sub-reset final gap on 1/3: end-of-train flush
+            gaps[-1] = rst + 10
         trains.append((pulses, gaps))
     pulse, gap, n_pulses = _pack(trains)
     bounds = nrzs_bounds(devs, RATE)
@@ -559,7 +561,8 @@ def test_rzi_kernel_matches_python():
             gw = [s, lg, rst + 3][int(rng.integers(3))]
             pulses.append(max(1, int(pw * (1 + rng.uniform(-0.1, 0.1)))))
             gaps.append(max(1, gw))
-        gaps[-1] = rst + 10
+        if i % 3:  # sub-reset final gap on 1/3: end-of-train flush
+            gaps[-1] = rst + 10
         trains.append((pulses, gaps))
     pulse, gap, n_pulses = _pack(trains)
     bounds = rzi_bounds(devs, RATE)
@@ -597,7 +600,8 @@ def test_osv1_kernel_matches_python():
         for _ in range(k):
             pulses.append([s, 2 * s][int(rng.integers(2))])
             gaps.append([s, 2 * s][int(rng.integers(2))])
-        gaps[-1] = rst + 10
+        if i % 3:  # sub-reset final gap on 1/3: end-of-train flush
+            gaps[-1] = rst + 10
         trains.append((pulses, gaps))
     pulse, gap, n_pulses = _pack(trains)
     bounds = osv1_bounds(devs, RATE)
