@@ -20,6 +20,8 @@ from .dsp import DetectorParams, detector_init, process_block
 from .dsp.engine import take_packages, PKG_FSK
 from .io import parse_filename, load_iq
 from .output.data_model import Event, convert_units
+from .output.logger import (LOG_NOTICE, LOG_TRACE, LOG_WARNING,
+                            print_logf)
 from .pulse.data import PulseData, rfraw_check, rfraw_parse
 from .pulse import slicers as _slicers
 
@@ -74,11 +76,16 @@ class RtlTpu:
                  device_slice: bool = False,
                  fm_filter: float = 0.0,
                  gain_db: Optional[float] = None,
-                 ppm_error: int = 0):
+                 ppm_error: int = 0,
+                 verbose_bits: bool = False):
         self.fm_filter = float(fm_filter)   # -Y filter= (us/Hz/ratio)
         self.gain_db = gain_db              # -g, applied to rtl_tcp tuner
         self.ppm_error = int(ppm_error)     # -p, applied to rtl_tcp tuner
         self.verbosity = verbosity
+        # log verbosity in logger levels: default LOG_WARNING, each -v
+        # steps one level up (ref src/r_api.c:127, src/rtl_433.c:509)
+        self.log_verbosity = 4 + int(verbosity)
+        self.verbose_bits = bool(verbose_bits)   # -M bits
         self.analyze = analyze
         self.sample_rate = int(sample_rate)
         self.center_frequency = float(center_frequency)
@@ -93,6 +100,10 @@ class RtlTpu:
         self.registry = Registry()
         if device_slice or os.environ.get("TPU433_DEVICE_SLICE") == "1":
             self.registry.device_slice = True
+        # -vv enables decode-success bitbuffer logs, -vvv/-vvvv more
+        # (ref src/r_api.c:263 p->verbose derivation)
+        self.registry.decoder_verbose = max(0, int(verbosity) - 1)
+        self.registry.verbose_bits = bool(verbose_bits)
         if register_all:
             self.registry.register_all()
         self.events: List[Event] = []
@@ -128,12 +139,45 @@ class RtlTpu:
     # -- config ---------------------------------------------------------------
 
     def set_frequency(self, hz: float):
+        """Retune: pipeline params AND the live radio, when one is
+        connected (ref set_center_freq, src/r_api.c:82-89)."""
         self.center_frequency = float(hz)
         self._invalidate()
+        live = getattr(self, "_live", None)
+        if live is not None:
+            live.set_center_freq(int(self.center_frequency))
 
     def set_sample_rate(self, rate: int):
+        """(ref set_sample_rate, src/r_api.c:91-99)"""
         self.sample_rate = int(rate)
         self._invalidate()
+        live = getattr(self, "_live", None)
+        if live is not None:
+            live.set_sample_rate(self.sample_rate)
+
+    def set_gain(self, db):
+        """Tuner gain in dB; None/"auto"/"" = tuner AGC. Reaches the live
+        rtl_tcp tuner immediately (ref set_gain_str, src/r_api.c:101-115)."""
+        self.gain_db = None if db in (None, "", "auto") else float(db)
+        live = getattr(self, "_live", None)
+        if live is not None:
+            if self.gain_db is None:
+                live.set_gain_mode(0)
+            else:
+                live.set_gain(int(round(self.gain_db * 10)))
+
+    def set_ppm_error(self, ppm):
+        """Tuner frequency correction (-p), applied live (ref -p handling
+        + sdr_set_freq_correction, src/sdr.c:1224)."""
+        self.ppm_error = int(ppm)
+        live = getattr(self, "_live", None)
+        if live is not None:
+            live.set_freq_correction(self.ppm_error)
+
+    def set_hop_interval(self, seconds):
+        """Replace the hop cadence used by the live loop (-H equivalent,
+        ref src/http_server.c hop_interval verb)."""
+        self._hop_times = [max(1, int(seconds))]
 
     def _invalidate(self):
         self._state = None
@@ -292,11 +336,10 @@ class RtlTpu:
                     and abs(self.min_level_auto - self.noise_level - 3.0)
                     > 1.0):
                 self.min_level_auto = self.noise_level + 3.0
-                import sys
-                print(f"Auto Level: Estimated noise level is "
-                      f"{self.noise_level:.1f} dB, adjusting minimum "
-                      f"detection level to {self.min_level_auto:.1f} dB",
-                      file=sys.stderr)
+                print_logf(LOG_WARNING, "Auto Level",
+                           "Estimated noise level is %.1f dB, adjusting "
+                           "minimum detection level to %.1f dB",
+                           self.noise_level, self.min_level_auto)
                 self._relevel()
         else:
             self.noise_level = (self.noise_level * 31 + avg_db) / 32
@@ -305,10 +348,11 @@ class RtlTpu:
             if (now != self._last_noise_report
                     and now % self.report_noise == 0):
                 self._last_noise_report = now
-                import sys
-                print(f"Auto Level: Current {'noise' if noise_only else 'signal'} "
-                      f"level {avg_db:.1f} dB, estimated noise "
-                      f"{self.noise_level:.1f} dB", file=sys.stderr)
+                print_logf(LOG_NOTICE, "Auto Level",
+                           "Current %s level %.1f dB, estimated noise "
+                           "%.1f dB",
+                           "noise" if noise_only else "signal", avg_db,
+                           self.noise_level)
         return noise_only
 
     def _dumper_streams(self, iq0: np.ndarray):
@@ -366,15 +410,16 @@ class RtlTpu:
         if self.verbosity >= 3:
             # verbosity-gated pulse-train dump (ref src/r_flow.c:279-281
             # LOG_TRACE package print, src/pulse_data.c:193 text format)
-            import sys
             kind = "FSK" if is_fsk else "OOK"
-            print(f"pulse_data: {kind} package, {len(pd.pulse)} pulses, "
-                  f"rssi {pd.rssi_db:.1f} dB snr {pd.snr_db:.1f} dB @"
-                  f"{pd.offset}", file=sys.stderr)
+            print_logf(LOG_TRACE, "pulse_data",
+                       "%s package, %d pulses, rssi %.1f dB snr %.1f dB "
+                       "@%d", kind, len(pd.pulse), pd.rssi_db, pd.snr_db,
+                       pd.offset)
             if self.verbosity >= 4:
                 for i in range(len(pd.pulse)):
-                    print(f"  [{i:4d}] pulse {pd.pulse[i]:5d} gap "
-                          f"{pd.gap[i]:5d}", file=sys.stderr)
+                    print_logf(LOG_TRACE, "pulse_data",
+                               "[%4d] pulse %5d gap %5d",
+                               i, pd.pulse[i], pd.gap[i])
         cb = functools.partial(self._event_cb, pd=pd, is_fsk=is_fsk)
         if is_fsk:
             n = self.registry.run_fsk_demods(pd, cb)
@@ -408,36 +453,68 @@ class RtlTpu:
                           ("snr", pd.snr_db, "SNR", "%.1f dB"),
                           ("noise", pd.noise_db, "Noise", "%.1f dB"))
         if self.report_time != "off":
-            if self.report_time == "samples":
-                # file replay: position-based time (ref src/r_util.c:153-156,
-                # src/r_api.c:306-310 "@%fs")
-                ts = f"@{pd.offset / self.sample_rate:f}s"
-            else:
-                # -M time:unix|iso[:usec][:utc][:tz] (ref src/r_api.c:306-332)
-                now = _time.time()
-                tm = (_time.gmtime(now) if self.report_time_utc
-                      else _time.localtime(now))
-                if self.report_time == "unix":
-                    ts = (f"{int(now)}.{int(now % 1 * 1e6):06d}"
-                          if self.report_time_hires else str(int(now)))
-                else:
-                    # "iso8601" = -M time:iso (T separator); the default
-                    # ("iso" legacy value) is the reference's date format
-                    fmt = ("%Y-%m-%dT%H:%M:%S"
-                           if self.report_time == "iso8601"
-                           else "%Y-%m-%d %H:%M:%S")
-                    ts = _time.strftime(fmt, tm)
-                    if self.report_time_hires:
-                        ts += f".{int(now % 1 * 1e6):06d}"
-                if self.report_time_tz:
-                    # "+0000" collapses to "Z" (ref src/r_util.c:120-126)
-                    tzs = "+0000" if self.report_time_utc \
-                        else _time.strftime("%z", tm)
-                    ts += "Z" if tzs == "+0000" else tzs
-            ev.prepend(("time", ts))
+            ev.prepend(("time", self._time_string(
+                pd.offset if pd is not None else None)))
         self.events.append(ev)
         for sink in self.sinks:
             sink(ev)
+
+    def _time_string(self, offset_samples=None):
+        """Format the current time per -M time config (time_pos_str
+        equivalent, ref src/r_api.c:306-332)."""
+        if self.report_time == "samples":
+            # file replay: position-based time (ref src/r_util.c:153-156,
+            # src/r_api.c:306-310 "@%fs")
+            pos = self._stream_pos if offset_samples is None \
+                else offset_samples
+            return f"@{pos / self.sample_rate:f}s"
+        # -M time:unix|iso[:usec][:utc][:tz] (ref src/r_api.c:306-332)
+        now = _time.time()
+        tm = (_time.gmtime(now) if self.report_time_utc
+              else _time.localtime(now))
+        if self.report_time == "unix":
+            return (f"{int(now)}.{int(now % 1 * 1e6):06d}"
+                    if self.report_time_hires else str(int(now)))
+        # "iso8601" = -M time:iso (T separator); the default
+        # ("iso" legacy value) is the reference's date format
+        fmt = ("%Y-%m-%dT%H:%M:%S" if self.report_time == "iso8601"
+               else "%Y-%m-%d %H:%M:%S")
+        ts = _time.strftime(fmt, tm)
+        if self.report_time_hires:
+            ts += f".{int(now % 1 * 1e6):06d}"
+        if self.report_time_tz:
+            # "+0000" collapses to "Z" (ref src/r_util.c:120-126)
+            tzs = "+0000" if self.report_time_utc \
+                else _time.strftime("%z", tm)
+            ts += "Z" if tzs == "+0000" else tzs
+        return ts
+
+    def redirect_logging(self):
+        """Fan print_log messages out through the output sinks as
+        src/lvl/msg events, gated by the global log verbosity and each
+        sink's ``log_level`` (ref log_handler + r_redirect_logging,
+        src/r_api.c:554-589; per-sink gate include/data.h:191). Call
+        after the sinks are configured; reset with
+        ``logger.set_log_handler(None)``."""
+        from .output import logger as _logger
+
+        def fan_out(level, ev):
+            if self.report_time != "off":
+                ev.prepend(("time", self._time_string()))
+            for sink in self.sinks:
+                if getattr(sink, "log_level", 0) >= level:
+                    sink(ev)
+
+        def handler(level, src, msg):
+            if self.log_verbosity < level:
+                return
+            fan_out(level, Event.make(("src", src), ("lvl", level),
+                                      ("msg", msg)))
+
+        # structured decoder logs skip the verbosity gate: the decoder's
+        # own verbose gate already ran (ref log_device_handler :610-630)
+        _logger.set_log_handler(handler, fan_out)
+        return handler
 
     # -- entry points -------------------------------------------------------
 
@@ -517,7 +594,9 @@ class RtlTpu:
         host = spec[1] if len(spec) > 1 and spec[1] else "localhost"
         port = int(spec[2]) if len(spec) > 2 else 1234
         freqs = [int(f) for f in (frequencies or [self.center_frequency])]
-        hops = list(hop_times or [600])
+        # instance state so the HTTP hop_interval verb can retime hopping
+        # mid-run (set_hop_interval)
+        self._hop_times = list(hop_times or [600])
         start = len(self.events)
         if self.report_time == "off":
             self.report_time = "iso"
@@ -562,6 +641,10 @@ class RtlTpu:
                 self._dev_state = "grace"
                 return
             # stalled (grace with no first frame, or started and dried up)
+            print_logf(LOG_WARNING, "Input device",
+                       "stream stalled (%s), %s"
+                       % ("no frames" if self._dev_state == "grace"
+                          else "ran out of frames", run_mode))
             self._dev_state = "stopped"
             self.exit_code = 3
             if run_mode == "quit":
@@ -584,6 +667,7 @@ class RtlTpu:
             if t_end is not None and now >= t_end:
                 self._exit_async = True
                 self._live.stop()
+            hops = self._hop_times
             hop_index = min(freq_index, len(hops) - 1)
             if len(freqs) > 1 and now - hop_start >= hops[hop_index]:
                 self._hop_now = True
@@ -622,6 +706,7 @@ class RtlTpu:
             if self._dev_state == "stopped" and run_mode == "restart":
                 continue  # reconnect (ref start_sdr restart path)
             break
+        self._live = None
         return len(self.events) - start
 
     def _install_live_signals(self):
@@ -691,7 +776,10 @@ class RtlTpu:
         dummy_pd = PulseData(sample_rate=self.sample_rate)
         for dev in self.registry.active:
             for bits in _slicers.slicer_string(code):
+                sliced = bits.clone()
                 ret = dev.decode_fn(bits, dev) if dev.decode_fn else 0
-                for ev in dev.account(ret):
+                events = dev.account(ret)
+                for ev in events:
                     self._event_cb(dev, ev, pd=dummy_pd, is_fsk=dev.is_fsk)
+                self.registry.maybe_log_bitbuffer(dev, sliced, bool(events))
         return self.events[start:]

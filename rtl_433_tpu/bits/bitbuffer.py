@@ -350,6 +350,20 @@ class BitBuffer:
     def row_hex(self, row: int) -> str:
         return "".join(f"{b:02x}" for b in self.row_bytes(row))
 
+    def row_code(self, row: int) -> str:
+        """'{n}hh..' row code, trailing half-byte trimmed to one nibble;
+        at least one '0' digit (ref src/decoder_util.c bitrow_asprint_code)."""
+        n = self.bits_per_row[row]
+        hexstr = self.row_hex(row)[: 2 * (n + 3) // 8]
+        return f"{{{n}}}{hexstr or '0'}"
+
+    def row_bits_str(self, row: int) -> str:
+        """Bit string with a space every nibble (ref src/decoder_util.c
+        bitrow_asprint_bits) — the -M bits row dump format."""
+        n = self.bits_per_row[row]
+        raw = "".join(f"{b:08b}" for b in self.row_bytes(row))[:n]
+        return " ".join(raw[i:i + 4] for i in range(0, len(raw), 4))
+
     def __repr__(self):
         rows = ", ".join(
             f"{{{self.bits_per_row[r]}}}{self.row_hex(r)}" for r in range(self.num_rows))

@@ -67,6 +67,8 @@ def _metric(v: str) -> float:
 
 
 def main(argv=None):
+    from .output.logger import set_log_handler
+    set_log_handler(None)  # drop any handler left by a prior invocation
     argv = list(sys.argv[1:] if argv is None else argv)
     in_files = []
     test_codes = []
@@ -281,6 +283,7 @@ def main(argv=None):
                 report_time_utc=time_utc,
                 report_time_tz=time_tz,
                 verbosity=verbosity,
+                verbose_bits="bits" in meta,
                 **y_opts,
                 register_all=False)
 
@@ -329,31 +332,55 @@ def main(argv=None):
         rx.taggers.append(DataTagger(
             spec, current_file_fn=lambda: rx._current_file))
 
+    outputs_explicit = bool(outputs)
     if not outputs:
-        outputs = ["json"]
+        # default event output plus a stderr log sink (the reference
+        # defaults to kv which doubles as its log output,
+        # ref src/rtl_433.c:1500-1506)
+        outputs = ["json", "log"]
 
     closers = []
     for spec in outputs:
         fmt, _, arg = spec.partition(":")
+        # "-F json,v=8:path" attaches a per-sink log_level (lvlarg_param,
+        # ref src/r_api.c:938-960): log messages with level <= v reach
+        # this sink through the fan-out (redirect_logging below)
+        fmt, _, lvl_str = fmt.partition(",")
+        log_lvl = None
+        if lvl_str:
+            k, _, v = lvl_str.replace(" ", "").partition("=")
+            if k != "v" or not v.isdigit():
+                print(f"Unknown output option \"{lvl_str}\"",
+                      file=sys.stderr)
+                return 2
+            log_lvl = int(v)
         if fmt in ("json", "jsons"):
-            compact = fmt == "jsons"
-            def emit_json(ev, _c=compact):
-                print(event_to_jsons(ev) if _c else event_to_json(ev),
-                      flush=True)
-            rx.sinks.append(emit_json)
-        elif fmt in ("kv", "log"):
+            from .output.sinks import JsonSink
+            rx.sinks.append(JsonSink(compact=fmt == "jsons",
+                                     log_level=log_lvl or 0))
+        elif fmt == "kv":
             def emit_kv(ev):
                 print(event_to_kv(ev, color=sys.stdout.isatty()))
                 print("", flush=True)
+            emit_kv.log_level = 8 if log_lvl is None else log_lvl
             rx.sinks.append(emit_kv)
+        elif fmt == "log":
+            from .output.sinks import LogSink
+            rx.sinks.append(LogSink(log_level=8 if log_lvl is None
+                                    else log_lvl))
         elif fmt == "csv":
             from .output.sinks import CsvSink, determine_csv_fields
-            rx.sinks.append(CsvSink(determine_csv_fields(rx.registry.active)))
+            rx.sinks.append(CsvSink(
+                determine_csv_fields(rx.registry.active,
+                                     verbose_bits=rx.verbose_bits),
+                log_level=log_lvl or 0))
         elif fmt == "syslog":
             from .output.network import SyslogSink
             host, _, port = arg.partition(":")
             rx.sinks.append(SyslogSink(host or "localhost",
-                                       int(port or 514)))
+                                       int(port or 514),
+                                       log_level=4 if log_lvl is None
+                                       else log_lvl))
         elif fmt == "trigger":
             from .output.network import TriggerSink
             rx.sinks.append(TriggerSink(arg or "/dev/stdout"))
@@ -410,6 +437,15 @@ def main(argv=None):
         else:
             print(f"unknown output format: {fmt}", file=sys.stderr)
             return 2
+
+    if outputs_explicit and \
+            not any(getattr(s, "log_level", 0) > 0 for s in rx.sinks):
+        print('Use "-F log" if you want any messages, warnings, and '
+              'errors in the console.', file=sys.stderr)
+    # change the log handler after outputs are set up: messages fan out
+    # through every sink whose log_level admits them (ref
+    # r_redirect_logging, src/rtl_433.c:1508)
+    rx.redirect_logging()
 
     n_events = 0
     for code in test_codes:

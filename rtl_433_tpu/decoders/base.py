@@ -145,6 +145,11 @@ class Registry:
         # accelerator and pre-fills the train-memo cache
         self.device_slice = False
         self._device_banks: dict = {}
+        # decoder debug logging (ref account_event src/pulse_slicer.c:58-60
+        # + decoder_log_bitbuffer src/decoder_util.c:160-198): global
+        # decoder verbosity (-vv.. => 1..3) and -M bits row dumps
+        self.decoder_verbose = 0
+        self.verbose_bits = False
 
     def __len__(self):
         return sum(1 for d in self.slots if d is not None)
@@ -193,12 +198,20 @@ class Registry:
         per-decoder Python slicers otherwise. Both produce identical events
         in identical order (tests/test_native_slicers.py).
         """
-        if self._use_native() or self.device_slice:
+        if (self._use_native() or self.device_slice) \
+                and not self._verbose_decoding():
             try:
                 return self._run_fast(pulses, want_fsk, event_cb)
             except RuntimeError:
                 pass
         return self._run_host(pulses, want_fsk, event_cb)
+
+    def _verbose_decoding(self) -> bool:
+        """Decoder debug logging wants the exact per-decoder host path:
+        the fast path gates/dedups/caches decode calls, so per-call
+        bitbuffer dumps would be incomplete there."""
+        return self.decoder_verbose > 0 or \
+            any(d.verbose for d in self.active)
 
     def _use_native(self) -> bool:
         from ..pulse import native_slicers
@@ -218,15 +231,48 @@ class Registry:
                 if dev.is_fsk != want_fsk:
                     continue
                 for bits in slicers.slice_pulses(pulses, dev):
+                    # the decoder may mutate its input (invert, extract);
+                    # keep the sliced rows for the debug dump below
+                    dv = dev.verbose or self.decoder_verbose
+                    sliced = bits.clone() if dv else bits
                     ret = dev.decode_fn(bits, dev) if dev.decode_fn else 0
                     events = dev.account(ret)
                     for ev in events:
                         event_cb(dev, ev)
                     p_events += len(events)
+                    self.maybe_log_bitbuffer(dev, sliced, bool(events))
             if p_events or next_priority is None:
                 break
             priority = next_priority
         return p_events
+
+    def maybe_log_bitbuffer(self, dev, bits, got_events: bool):
+        """Debug printout rules of account_event (ref
+        src/pulse_slicer.c:58-60): dump the sliced bitbuffer when the
+        decoder is verbose enough for what just happened."""
+        dv = dev.verbose or self.decoder_verbose
+        max_bits = max(bits.bits_per_row[:bits.num_rows], default=0) \
+            if dv else 0
+        if (not dev.decode_fn) or (dv and got_events) \
+                or (dv > 1 and max_bits > 16) or (dv > 2):
+            lvl = 1 if got_events else 2
+            if dv >= lvl:
+                self._log_bitbuffer(dev, lvl, bits)
+
+    def _log_bitbuffer(self, dev, level, bits):
+        """Emit the decoder bitbuffer dump as a structured log event:
+        src/lvl/msg/num_rows/codes, plus per-row bit strings under -M bits
+        (ref decoder_log_bitbuffer, src/decoder_util.c:160-198)."""
+        from ..output.data_model import Event
+        from ..output import logger as _logger
+        nrows = bits.num_rows
+        fields = [("src", dev.modulation), ("lvl", level + 4),
+                  ("msg", dev.name), ("num_rows", nrows),
+                  ("codes", [bits.row_code(r) for r in range(nrows)])]
+        if self.verbose_bits:
+            fields.append(("bits",
+                           [bits.row_bits_str(r) for r in range(nrows)]))
+        _logger.log_data(level + 4, Event.make(*fields))
 
     def _get_device_bank(self, want_fsk: bool, sample_rate: int):
         from .device_dispatch import DeviceBank

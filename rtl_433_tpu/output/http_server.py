@@ -44,6 +44,9 @@ class HttpServerSink:
     def __init__(self, receiver=None, host="0.0.0.0", port=8433,
                  history=100):
         self.receiver = receiver
+        # the HTTP API consumes all log levels (ref add_http_output,
+        # src/r_api.c:1043 note)
+        self.log_level = 8
         self.history = deque(maxlen=history)
         self.streams = []       # live chunked/ws client queues
         self.lock = threading.Lock()
@@ -233,9 +236,21 @@ class HttpServerSink:
             if val is not None and rx:
                 rx.set_sample_rate(int(val))
             return {"sample_rate": rx.sample_rate if rx else None}
-        if cmd in ("gain", "ppm_error", "hop_interval"):
-            setattr(self, "_" + cmd, val)
-            return {cmd: val}
+        if cmd == "gain":
+            # "" / "auto" = tuner AGC; reaches the live rtl_tcp tuner
+            # (ref set_gain_str, src/r_api.c:101-115)
+            if rx and val is not None:
+                rx.set_gain(val)
+            return {"gain": rx.gain_db if rx else None}
+        if cmd == "ppm_error":
+            if rx and val is not None:
+                rx.set_ppm_error(int(val))
+            return {"ppm_error": rx.ppm_error if rx else None}
+        if cmd == "hop_interval":
+            if rx and val is not None:
+                rx.set_hop_interval(int(val))
+            return {"hop_interval": getattr(rx, "_hop_times", None)
+                    if rx else None}
         if cmd == "protocol":
             if rx and val is not None:
                 n = int(val)
@@ -269,6 +284,10 @@ class HttpServerSink:
                 "frequency": rx.center_frequency if rx else None,
                 "sample_rate": rx.sample_rate if rx else None,
                 "convert": rx.convert if rx else None,
+                "gain": rx.gain_db if rx else None,
+                "ppm_error": rx.ppm_error if rx else None,
+                "hop_interval": (getattr(rx, "_hop_times", None) or [None])[0]
+                if rx else None,
             }
         raise ValueError(f"unknown cmd: {cmd}")
 

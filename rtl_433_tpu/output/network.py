@@ -23,8 +23,11 @@ class SyslogSink:
     """RFC 5424 JSON datagrams (ref src/output_udp.c:157-196)."""
 
     def __init__(self, host: str = "localhost", port: int = 514,
-                 pri: int = 165):
+                 pri: int = 165, log_level: int = 4):
         self.addr = (host, int(port))
+        # default LOG_WARNING: warnings+errors ship as syslog datagrams
+        # (ref add_syslog_output, src/r_api.c:1029)
+        self.log_level = int(log_level)
         self.pri = pri
         self.hostname = socket.gethostname().split(".")[0]
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)

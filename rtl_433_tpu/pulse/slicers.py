@@ -43,6 +43,10 @@ def _timings(pulses, device):
                      ("reset", device.reset_limit), ("gap", device.gap_limit),
                      ("sync", device.sync_width), ("tolerance", device.tolerance)):
         if us > 0 and t[name] <= 0:
+            from ..output.logger import LOG_WARNING, print_logf
+            print_logf(LOG_WARNING, "pulse_slicer",
+                       'sample rate too low for protocol %u "%s"',
+                       device.num, device.name)
             return None
     return t
 
