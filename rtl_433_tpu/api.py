@@ -135,6 +135,16 @@ class RtlTpu:
         self.noise_level = 0.0
         self.total_frames_squelch = 0
         self._last_noise_report = 0
+        # -M stats[:level][:interval] + on-demand reports
+        # (ref src/rtl_433.c:785-788, :1155-1164)
+        self.report_stats = 0
+        self.stats_interval = 600
+        self.stats_now = 0
+        self._stats_time = None
+        self._frames_since = _time.time()
+        # -M replay[:N]: realtime (N-times) file replay pacing
+        # (ref src/delay_timer.c, src/rtl_433.c:1803-1810)
+        self.in_replay = 0
 
     # -- config ---------------------------------------------------------------
 
@@ -284,6 +294,7 @@ class RtlTpu:
                 self.total_frames_squelch += 1
                 self.frames_count += 1
                 self._stream_pos += N
+                self._maybe_interval_stats()
                 return 0
         self._state, avg_db = self._jit(self._state, jnp.asarray(iq),
                                         n_valid, flush=flush)
@@ -306,6 +317,7 @@ class RtlTpu:
             dumper.push(iq0, am=am_f, fm=fm_f, logic=self._logic_buf)
         self._logic_buf = None
         self._stream_pos += N
+        self._maybe_interval_stats()
         return events
 
     def _block_avg_db(self, iq: np.ndarray) -> float:
@@ -547,10 +559,20 @@ class RtlTpu:
             iq = load_iq(info.path, fmt)
         start = len(self.events)
         n = iq.shape[0]
+        # -M replay[:N]: pace blocks against a wall-clock schedule at
+        # N-times realtime (ref delay_timer_wait, src/delay_timer.c;
+        # src/rtl_433.c:1803-1810)
+        deadline = _time.monotonic()
         for pos in range(0, max(n, 1), DEFAULT_BUF_SAMPLES):
             blk = iq[pos: pos + DEFAULT_BUF_SAMPLES]
             if blk.shape[0] == 0:
                 break
+            if self.in_replay:
+                deadline += blk.shape[0] / (self.sample_rate
+                                            * self.in_replay)
+                wait = deadline - _time.monotonic()
+                if wait > 0:
+                    _time.sleep(wait)
             self.push_block(blk, flush=pos + DEFAULT_BUF_SAMPLES >= n)
         return self.events[start:]
 
@@ -723,6 +745,12 @@ class RtlTpu:
                           lambda *_: setattr(self, "_sig_hup", True))
             signal.signal(signal.SIGUSR1,
                           lambda *_: setattr(self, "_sig_hop", True))
+            # on-demand stats: the reference binds BSD SIGINFO (absent on
+            # Linux, ref src/rtl_433.c:1047 "TODO: maybe SIGUSR1");
+            # SIGUSR1 already hops, so SIGUSR2 fills that role here
+            signal.signal(signal.SIGUSR2,
+                          lambda *_: setattr(self, "stats_now",
+                                             self.stats_now + 1))
         except (ValueError, AttributeError, OSError):
             pass
 
@@ -731,12 +759,13 @@ class RtlTpu:
         if getattr(self, "_live", None):
             self._live.stop()
 
-    def stats_report(self) -> Event:
+    def stats_report(self, level: int = 1) -> Event:
         """-M stats interval report (ref create_report_data,
-        src/r_api.c:843-899): per-decoder event/ok/fail counters."""
+        src/r_api.c:843-899): per-decoder event/ok/fail counters.
+        level >= 2 includes decoders without events."""
         stats = []
         for dev in self.registry.active:
-            if dev.decode_events == 0:
+            if dev.decode_events == 0 and level < 2:
                 continue
             fails = [(f"abort_{k}" if k.startswith(("length", "early"))
                       else k, v) for k, v in dev.decode_fails.items()]
@@ -751,12 +780,48 @@ class RtlTpu:
         return Event.make(
             ("time", _time.strftime("%Y-%m-%d %H:%M:%S")),
             ("enabled", len(self.registry.active)),
-            ("since", 0),
+            ("since", int(_time.time() - self._frames_since)),
             ("frames", Event.make(
                 ("count", self.frames_count),
+                ("squelched", self.total_frames_squelch),
                 ("events", self.frames_events))),
             ("stats", stats),
         )
+
+    def flush_report_data(self):
+        """Reset the stats counters after a report
+        (ref flush_report_data, src/r_api.c:901-922)."""
+        self._frames_since = _time.time()
+        self.frames_count = 0
+        self.frames_events = 0
+        self.total_frames_squelch = 0
+        for dev in self.registry.active:
+            dev.decode_events = 0
+            dev.decode_ok = 0
+            dev.decode_messages = 0
+            dev.decode_fails = {}
+
+    def _maybe_interval_stats(self):
+        """Interval (-M stats:l:s) and on-demand (SIGUSR2) stats reports,
+        checked once per frame and emitted as events through every sink
+        (ref src/rtl_433.c:1155-1164)."""
+        if not (self.stats_now or (self.report_stats
+                                   and self.stats_interval)):
+            return
+        now = _time.time()
+        if self._stats_time is None:
+            self._stats_time = now + self.stats_interval
+        due = self.report_stats and now >= self._stats_time
+        if not (self.stats_now or due):
+            return
+        ev = self.stats_report(3 if self.stats_now else self.report_stats)
+        for sink in self.sinks:
+            sink(ev)
+        self.flush_report_data()
+        if due:
+            self._stats_time += self.stats_interval
+        if self.stats_now:
+            self.stats_now -= 1
 
     def decode_test_string(self, code: str) -> List[Event]:
         """-y equivalent (ref src/rtl_433.c:1576-1685): RfRaw pulse strings

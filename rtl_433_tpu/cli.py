@@ -272,6 +272,21 @@ def main(argv=None):
     noise_parts = meta_opts.get("noise", [])
     if "noise" in meta:
         y_opts["report_noise"] = int(noise_parts[0]) if noise_parts else 1
+    # -M replay[:N]: N-times realtime file replay (ref src/rtl_433.c:790)
+    replay_parts = meta_opts.get("replay", [])
+    in_replay = 0
+    if "replay" in meta:
+        in_replay = int(replay_parts[0]) if replay_parts and \
+            replay_parts[0] else 1
+    # -M stats[:level][:interval] (ref src/rtl_433.c:783-788)
+    stats_parts = meta_opts.get("stats", [])
+    report_stats = 0
+    stats_interval = 600
+    if "stats" in meta:
+        report_stats = int(stats_parts[0]) if stats_parts and \
+            stats_parts[0] else 1
+        if len(stats_parts) > 1 and stats_parts[1]:
+            stats_interval = int(_metric(stats_parts[1]))
 
     rx = RtlTpu(sample_rate=rate, center_frequency=freq, fsk_mode=fsk_mode,
                 use_mag_est=use_mag_est, convert=convert,
@@ -286,6 +301,9 @@ def main(argv=None):
                 verbose_bits="bits" in meta,
                 **y_opts,
                 register_all=False)
+    rx.in_replay = in_replay
+    rx.report_stats = report_stats
+    rx.stats_interval = stats_interval
 
     # Ordered -R/-X replay (ref src/rtl_433.c:820-851, defaults at :1511):
     # any -R suppresses the default registration; a negative -R first
@@ -477,12 +495,19 @@ def main(argv=None):
             print(f"error: cannot open SDR: {e}", file=sys.stderr)
             return 2
         finally:
+            if report_stats:
+                ev = rx.stats_report(report_stats)
+                for sink in rx.sinks:
+                    sink(ev)
             for close in closers:
                 close()
         return getattr(rx, "exit_code", 0)
 
-    if "stats" in meta:
-        print(event_to_json(rx.stats_report()), flush=True)
+    if report_stats:
+        # final report through every sink (ref src/rtl_433.c:1926-1928)
+        ev = rx.stats_report(report_stats)
+        for sink in rx.sinks:
+            sink(ev)
 
     for close in closers:
         close()

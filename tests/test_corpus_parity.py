@@ -43,17 +43,25 @@ def _normalize(ev):
 
 
 def _ref_events(num, path):
-    out = subprocess.run([BIN, "-R", str(num), "-r", str(path), "-F", "json"],
+    """num may be an int or a list of ints (multi-protocol streams)."""
+    nums = num if isinstance(num, (list, tuple)) else [num]
+    args = []
+    for n in nums:
+        args += ["-R", str(n)]
+    out = subprocess.run([BIN, *args, "-r", str(path), "-F", "json"],
                          capture_output=True, text=True, timeout=60)
     return [_normalize(json.loads(l)) for l in out.stdout.splitlines()
             if l.startswith("{")]
 
 
 def _our_events(num, path):
+    """num may be an int or a list of ints (multi-protocol streams)."""
     from rtl_433_tpu.api import RtlTpu
     from rtl_433_tpu.output.data_model import event_to_json
+    nums = num if isinstance(num, (list, tuple)) else [num]
     rx = RtlTpu(register_all=False, report_time="off")
-    rx.registry.register(num)
+    for n in nums:
+        rx.registry.register(n)
     evs = rx.decode_file(str(path))
     return [_normalize(json.loads(event_to_json(e))) for e in evs]
 

@@ -25,8 +25,11 @@ def _cases():
     for cu8 in sorted(glob.glob(os.path.join(FIXTURES, "*", "*.cu8"))):
         ddir = os.path.dirname(cu8)
         with open(os.path.join(ddir, "protocol")) as f:
-            num = int(f.read().strip())
-        out.append((os.path.basename(ddir), num, cu8))
+            # one or more protocol numbers (multi-protocol streams hold
+            # several transmitters in one capture)
+            nums = [int(x) for x in f.read().split()]
+        out.append((os.path.basename(ddir),
+                    nums[0] if len(nums) == 1 else nums, cu8))
     return out
 
 
@@ -34,7 +37,7 @@ CASES = _cases()
 
 
 def test_fixture_tree_present():
-    assert len(CASES) >= 10, "fixture corpus went missing"
+    assert len(CASES) >= 100, "fixture corpus went missing or shrank"
     for _name, _num, cu8 in CASES:
         assert os.path.exists(cu8.replace(".cu8", ".json"))
 

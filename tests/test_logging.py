@@ -176,3 +176,55 @@ def test_http_control_reaches_radio():
     s = sink.handle_cmd("settings", None)
     assert s["ppm_error"] == 43 and s["hop_interval"] == 45
     rx._live = None
+
+
+def test_on_demand_and_interval_stats(tmp_path):
+    """stats_now (SIGUSR2 equivalent) and -M stats:l:s cadence emit
+    reports as events through the sinks and flush the counters
+    (ref src/rtl_433.c:1155-1164, src/r_api.c:901-922)."""
+    import numpy as np
+    import time as _t
+    rx = RtlTpu(register_all=False)
+    rx.registry.register(19)
+    out = io.StringIO()
+    rx.sinks.append(JsonSink(file=out))
+    noise = np.random.default_rng(0).integers(
+        120, 136, size=(16384, 2), dtype=np.uint8)
+
+    rx.stats_now = 1                       # on-demand (level 3: all devs)
+    rx.push_block(noise)
+    reports = [json.loads(x) for x in out.getvalue().splitlines()
+               if '"enabled"' in x]
+    assert len(reports) == 1 and rx.stats_now == 0
+    assert reports[0]["frames"]["count"] == 1
+    assert len(reports[0]["stats"]) == 1   # level 3 includes 0-event devs
+    assert rx.frames_count == 0            # flushed
+
+    rx.report_stats = 1
+    rx.stats_interval = 3600
+    rx._stats_time = _t.time() - 1         # due now
+    rx.push_block(noise)
+    reports = [json.loads(x) for x in out.getvalue().splitlines()
+               if '"enabled"' in x]
+    assert len(reports) == 2
+    assert reports[1]["stats"] == []       # level 1: events-only
+    assert rx._stats_time > _t.time() + 3000
+
+
+def test_replay_pacing(tmp_path):
+    """-M replay[:N] paces file replay against the wall clock
+    (ref src/delay_timer.c, src/rtl_433.c:1803-1810)."""
+    import numpy as np
+    import time as _t
+    iq = np.full((25000, 2), 128, np.uint8)
+    p = tmp_path / "quiet_433.92M_250k.cu8"
+    iq.tofile(str(p))
+    rx = RtlTpu(register_all=False)
+    rx.registry.register(19)
+    rx.decode_file(str(p))                 # unpaced warmup (compile)
+    for n_times, floor in ((1, 0.099), (4, 0.024)):
+        rx.in_replay = n_times
+        t0 = _t.monotonic()
+        rx.decode_file(str(p))
+        assert _t.monotonic() - t0 >= floor, (n_times, floor)
+    rx.in_replay = 0

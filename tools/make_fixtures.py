@@ -70,9 +70,165 @@ PANEL = [
                                     seed_extra=120)),
 ]
 
+# auto-panel impairment profiles, cycled deterministically per protocol:
+# clean-ish, noisy, clock-fast, clock-slow, jittered, noisy+jittered
+_PROFILES = [
+    dict(amp=72, noise=2.5),
+    dict(amp=44, noise=5.0),
+    dict(amp=64, noise=3.0, time_scale=1.004),
+    dict(amp=64, noise=3.0, time_scale=0.996),
+    dict(amp=56, noise=3.5, jitter=0.012),
+    dict(amp=48, noise=4.5, jitter=0.008, time_scale=1.002),
+]
+
+# target frozen corpus breadth (VERDICT r3 item 6: >= 100 protocol dirs)
+TARGET = 108
+
+# interleaved multi-protocol streams: several transmitters sharing one
+# band/capture, the reference corpus' hardest replay shape (components
+# must share a sample rate; all synthesized at 250k). Directory names
+# must avoid fileformat tokens — "ook"/"am"/"fm"/"cu8"... anywhere in the
+# path changes how the reference parses the file (src/fileformat.c scans
+# every path segment), e.g. a "..._ook_..." dir made it read cu8 bytes as
+# OOK pulse text and decode nothing.
+MIXED = [
+    ("interleaved_band433", [19, 1, 40, 12]),        # PPM+PWM+MC mix
+    ("interleaved_fsk433", [26, 36, 63]),            # FSK PCM/PWM mix
+    ("interleaved_dual_mod", [19, 44, 50]),          # ASK + FSK interleave
+]
+
+
+def _freeze(ddir, nums, iq_path, gi):
+    """Reference-decode a frozen cu8 and write expected JSON + protocol."""
+    from test_corpus_parity import _ref_events
+    ref = _ref_events(nums, iq_path)
+    if not ref:
+        return None
+    with open(iq_path.replace(".cu8", ".json"), "w") as f:
+        for ev in ref:
+            f.write(json.dumps(ev, sort_keys=True) + "\n")
+    with open(os.path.join(ddir, "protocol"), "w") as f:
+        f.write(" ".join(str(n) for n in nums) + "\n")
+    return ref
+
+
+def _build_one(name, num, kw, gi, vec):
+    """Build + freeze one single-protocol fixture dir; returns bytes."""
+    from test_corpus_parity import build_corpus_entry
+    import glob as _glob
+    import re
+    code = vec.get(num)
+    if code is None:
+        print(f"skip {name}: no oracle vector")
+        return 0
+    ddir = os.path.join(OUT, name)
+    os.makedirs(ddir, exist_ok=True)
+    if _glob.glob(os.path.join(ddir, "*.cu8")):
+        print(f"keep {name}: fixture already frozen")
+        return 0
+    tmp = build_corpus_entry(num, code, ddir, **kw)
+    if tmp is None:
+        print(f"skip {name}: modulation not invertible")
+        os.rmdir(ddir)
+        return 0
+    # reference layout name; sample rate is embedded so the loader
+    # parses it from the filename exactly like the reference does
+    base = os.path.basename(tmp)
+    m = re.search(r"_(\d+)k\.cu8$", base)
+    rate_k = int(m.group(1)) if m else 250
+    fname = f"g{gi:03d}_433.92M_{rate_k}k.cu8"
+    path = os.path.join(ddir, fname)
+    os.replace(tmp, path)
+    ref = _freeze(ddir, [num], path, gi)
+    if not ref:
+        print(f"WARN {name}: reference decodes 0 events — dropping")
+        os.remove(path)
+        return 0
+    sz = os.path.getsize(path)
+    print(f"{name}: {fname} {sz//1024} KiB, {len(ref)} events")
+    return sz
+
+
+def _auto_panel(vec, have_nums):
+    """Round-robin protocols across modulation families until TARGET
+    dirs exist: breadth-first over (modulation x slicer) families, then
+    depth within each (VERDICT r3 item 6)."""
+    from rtl_433_tpu.decoders import Registry
+    reg = Registry()
+    by_mod = {}
+    # int keys only: "num:arg" string vectors are parameterized decoders
+    # whose registration needs the arg — not fixture-panel material
+    for num in sorted(n for n in vec if isinstance(n, int)):
+        if num in have_nums:
+            continue
+        dev = reg.get(num)
+        if dev is None or not dev.modulation:
+            continue
+        by_mod.setdefault(dev.modulation, []).append((num, dev.symbol))
+    out = []
+    need = TARGET - len(have_nums)
+    k = 0
+    while need > len(out) and any(by_mod.values()):
+        for mod in sorted(by_mod):
+            if by_mod[mod] and len(out) < need:
+                num, symbol = by_mod[mod].pop(0)
+                prof = dict(_PROFILES[k % len(_PROFILES)],
+                            seed_extra=200 + k)
+                out.append((symbol, num, prof))
+                k += 1
+    return out
+
+
+def _build_mixed(name, nums, gi, vec):
+    """Concatenate several protocols' impaired captures into one stream
+    with silence between transmissions; freeze the combined decode."""
+    from test_corpus_parity import build_corpus_entry
+    import glob as _glob
+    import numpy as np
+    ddir = os.path.join(OUT, name)
+    os.makedirs(ddir, exist_ok=True)
+    if _glob.glob(os.path.join(ddir, "*.cu8")):
+        print(f"keep {name}: fixture already frozen")
+        return 0
+    rng = np.random.default_rng(1000 + gi)
+    parts = []
+    for j, num in enumerate(nums):
+        code = vec.get(num)
+        if code is None:
+            continue
+        prof = dict(_PROFILES[j % len(_PROFILES)], seed_extra=300 + gi + j)
+        tmp = build_corpus_entry(num, code, ddir, **prof)
+        if tmp is None:
+            continue
+        if "_250k" not in os.path.basename(tmp):
+            os.remove(tmp)  # mixed streams share one 250k band
+            continue
+        parts.append(np.fromfile(tmp, np.uint8))
+        os.remove(tmp)
+    if len(parts) < 2:
+        print(f"skip {name}: fewer than 2 combinable components")
+        os.rmdir(ddir)
+        return 0
+    gap = lambda n: rng.integers(126, 131, size=n * 2, dtype=np.uint8)
+    stream = [gap(8192)]
+    for p in parts:
+        stream += [p, gap(16384)]
+    iq = np.concatenate(stream)
+    fname = f"g{gi:03d}_433.92M_250k.cu8"
+    path = os.path.join(ddir, fname)
+    iq.tofile(path)
+    ref = _freeze(ddir, nums, path, gi)
+    if not ref:
+        print(f"WARN {name}: reference decodes 0 events — dropping")
+        os.remove(path)
+        return 0
+    sz = os.path.getsize(path)
+    print(f"{name}: {fname} {sz//1024} KiB, {len(ref)} events "
+          f"({len(parts)} transmissions)")
+    return sz
+
 
 def main():
-    from test_corpus_parity import build_corpus_entry, _ref_events
     from test_decoder_oracle import VECTORS
 
     vec = {}
@@ -82,45 +238,15 @@ def main():
 
     os.makedirs(OUT, exist_ok=True)
     total = 0
-    for gi, (name, num, kw) in enumerate(PANEL, start=1):
-        code = vec.get(num)
-        if code is None:
-            print(f"skip {name}: no oracle vector")
-            continue
-        ddir = os.path.join(OUT, name)
-        os.makedirs(ddir, exist_ok=True)
-        import glob as _glob
-        if _glob.glob(os.path.join(ddir, "*.cu8")):
-            print(f"keep {name}: fixture already frozen")
-            continue
-        tmp = build_corpus_entry(num, code, ddir, **kw)
-        if tmp is None:
-            print(f"skip {name}: modulation not invertible")
-            continue
-        # reference layout name; sample rate is embedded so the loader
-        # parses it from the filename exactly like the reference does
-        import re
-        base = os.path.basename(tmp)
-        m = re.search(r"_(\d+)k\.cu8$", base)
-        rate_k = int(m.group(1)) if m else 250
-        fname = f"g{gi:03d}_433.92M_{rate_k}k.cu8"
-        path = os.path.join(ddir, fname)
-        os.replace(tmp, path)
-        ref = _ref_events(num, path)
-        if not ref:
-            print(f"WARN {name}: reference decodes 0 events — dropping")
-            os.remove(path)
-            continue
-        with open(os.path.join(ddir, fname.replace(".cu8", ".json")),
-                  "w") as f:
-            for ev in ref:
-                f.write(json.dumps(ev, sort_keys=True) + "\n")
-        with open(os.path.join(ddir, "protocol"), "w") as f:
-            f.write(str(num) + "\n")
-        sz = os.path.getsize(path)
-        total += sz
-        print(f"{name}: {fname} {sz//1024} KiB, {len(ref)} events")
-    print(f"total fixture bytes: {total//1024} KiB")
+    panel = list(PANEL)
+    panel += _auto_panel(vec, {num for _, num, _ in panel})
+    for gi, (name, num, kw) in enumerate(panel, start=1):
+        total += _build_one(name, num, kw, gi, vec)
+    for gj, (name, nums) in enumerate(MIXED, start=len(panel) + 1):
+        total += _build_mixed(name, nums, gj, vec)
+    n_dirs = sum(1 for d in os.listdir(OUT)
+                 if os.path.isdir(os.path.join(OUT, d)))
+    print(f"total new fixture bytes: {total//1024} KiB; dirs: {n_dirs}")
 
 
 if __name__ == "__main__":
