@@ -322,6 +322,15 @@ class Registry:
                 else:
                     memo = self._memo_plans(bank.devices, meta, summary,
                                             records)
+                    # the plan fixes which records can ever be touched:
+                    # materialize those, drop the lazy kernel/arena refs
+                    needed = set()
+                    for plan in memo["priorities"]:
+                        needed.update(
+                            off for _r, _i, off in plan["stateful"])
+                        needed.update(
+                            off for _i, off, _n, _rw in plan["uniq"])
+                    records.freeze(needed)
                 if len(self._train_cache) >= self.train_cache_max:
                     self._train_cache.clear()
                 self._train_cache[tkey] = memo
@@ -433,22 +442,30 @@ class Registry:
             uniq_plan = []
             mic_counts = []
             if live.size:
-                # unique (spec, record) pairs; first occurrence keeps order
-                keys = (spec_col[live].astype(np.int64) << 32) \
-                    | summary[live, 1].astype(np.int64)
-                uniq, inverse, counts = np.unique(
-                    keys, return_inverse=True, return_counts=True)
-                # group live rows by unique key once (the naive
-                # `live[inverse == k]` per key is O(U * L))
-                order = np.argsort(inverse, kind="stable")
-                starts = np.concatenate(
-                    ([0], np.cumsum(counts)))
-                for k in range(uniq.size):
-                    i = int(uniq[k] >> 32)
+                # unique (spec, record CONTENT) pairs, first occurrence
+                # order. Grouping by bytes (not arena offset) lets the
+                # device bank skip content-dedup during record assembly:
+                # records serialize lazily, only for live rows reaching
+                # this point (LazyRecords, decoders/device_dispatch.py).
+                # The native path's offsets are content-unique per train,
+                # so its grouping is unchanged.
+                groups = {}
+                order = []
+                spec_live = spec_col[live].tolist()
+                off_live = summary[live, 1].tolist()
+                for row, i, off in zip(live.tolist(), spec_live, off_live):
                     if meta["stateful"][i]:
                         continue  # replayed per occurrence instead
-                    off = int(uniq[k] & 0xFFFFFFFF)
-                    n_calls = int(counts[k])
+                    key = (i, records[off])
+                    grp = groups.get(key)
+                    if grp is None:
+                        groups[key] = grp = (off, [])
+                        order.append(key)
+                    grp[1].append(row)
+                for key in order:
+                    i, _blob = key
+                    off, rows = groups[key]
+                    n_calls = len(rows)
                     mspec = MIC_GATES.get(devs[i].symbol)
                     if mspec is not None:
                         bits = mats.get(off)
@@ -458,7 +475,6 @@ class Registry:
                         if not gate_bits(bits, mspec):
                             mic_counts.append((i, n_calls))
                             continue
-                    rows = live[order[starts[k]:starts[k + 1]]].tolist()
                     uniq_plan.append((i, off, n_calls, rows))
             plans.append({"gate_counts": gate_counts,
                           "mic_counts": mic_counts,

@@ -66,6 +66,75 @@ def _bucket(n, lo=64):
     return b
 
 
+def _snap_record(snap, off):
+    """record_bytes from an arena snapshot (native_slicers.py layout)."""
+    nr = int(snap[off:off + 4].view(np.int32)[0])
+    fr = int(snap[off + 4:off + 8].view(np.int32)[0])
+    head = 8 + ((4 * nr + 3) & ~3)
+    return snap[off: off + head + fr * 128].tobytes()
+
+
+# LazyRecords source kinds (columns in src_kind)
+_SRC_EAGER = -1      # src_a indexes eager_blobs
+_SRC_SNAP = -2       # src_a indexes snaps, src_b is the arena offset
+# src_kind >= 0      # family index into fam_outs; (src_a, src_b) = (j, e)
+
+
+class LazyRecords:
+    """``{off: record_bytes}`` mapping whose kernel/native records
+    serialize on first access.
+
+    The cold-drain wall (round-4 profile) was serializing EVERY sliced
+    record into bytes up front — ~6.5k records/train, of which the
+    dispatch gates (decoders/gates.py) immediately discard all but a few
+    dozen. Records therefore stay as (source, index) descriptors until a
+    surviving candidate actually needs its bytes (decode-cache key, MIC
+    gate, materialize); :meth:`freeze` then drops the bulky kernel-output
+    references once the dispatch plan is built, keeping only the bytes the
+    plan can ever touch.
+    """
+
+    __slots__ = ("_ready", "_kind", "_a", "_b", "_fams", "_snaps",
+                 "_eager", "_train")
+
+    def __init__(self, kind, a, b, fams, snaps, eager, train):
+        self._ready = {}
+        self._kind = kind
+        self._a = a
+        self._b = b
+        self._fams = fams          # [(out, caps)] kernel outputs
+        self._snaps = snaps        # [np.uint8 arena snapshot]
+        self._eager = eager        # [bytes]
+        self._train = train        # train index b into the kernel outputs
+
+    def __getitem__(self, off):
+        blob = self._ready.get(off)
+        if blob is None:
+            k = int(self._kind[off])
+            if k == _SRC_EAGER:
+                blob = self._eager[self._a[off]]
+            elif k == _SRC_SNAP:
+                blob = _snap_record(self._snaps[self._a[off]],
+                                    int(self._b[off]))
+            else:
+                out, caps = self._fams[k]
+                b, j, e = self._train, int(self._a[off]), int(self._b[off])
+                nr = int(out["num_rows"][b, j, e])
+                rows = np.zeros((nr, 128), np.uint8)
+                rows[:, :caps.row_bytes] = out["bytes"][b, j, e, :nr]
+                blob = _serialize(nr, nr, out["bits_per_row"][b, j, e],
+                                  out["syncs"][b, j, e], rows)
+            self._ready[off] = blob
+        return blob
+
+    def freeze(self, needed):
+        """Materialize ``needed`` offsets, drop every source reference."""
+        for off in needed:
+            self[off]
+        self._kind = self._a = self._b = None
+        self._fams = self._snaps = self._eager = None
+
+
 class DeviceBank:
     """SlicerBank-compatible bank whose slicing runs as batched device
     kernels for the PPM/PWM/PCM families."""
@@ -110,12 +179,74 @@ class DeviceBank:
                                   bounds, caps))
         self._restbank = None
         self._restbank_tried = False
+        self._ovf_banks = {}
 
-    # -- rest-family slicing (native bank when available) ----------------
+    # -- host-exact fallback slicing (native bank when available) --------
 
-    def _rest_records(self, pulse, gap):
-        """[(full_spec_idx, record_bytes), ...] for non-kernel specs,
-        ordered by spec then temporal."""
+    def _get_ovf_bank(self, key):
+        """Native bank over the flagged spec subset, cached per subset
+        (cold drains flag a stable set, so this compiles once)."""
+        from ..pulse import native_slicers
+        if not native_slicers.available():
+            return None
+        bank = self._ovf_banks.get(key)
+        if bank is None:
+            if len(self._ovf_banks) >= 16:
+                self._ovf_banks.clear()
+            bank = native_slicers.SlicerBank(
+                [self.devices[i] for i in key], self.sample_rate)
+            self._ovf_banks[key] = bank
+        return bank
+
+    def _native_piece(self, bank, full_map, pulse, gap, snaps):
+        """Slice one train on a native bank; return lazy summary columns.
+
+        The bank's arena is reused across calls, so the used prefix is
+        snapshotted; records parse out of the snapshot on demand
+        (:class:`LazyRecords`)."""
+        summary, arena = bank.slice(pulse, gap)
+        k = len(summary)
+        if k == 0:
+            return None
+        offs = summary[:, 1].astype(np.int64)
+        last = int(offs.max())
+        nr_l = int(arena[last:last + 4].view(np.int32)[0])
+        fr_l = int(arena[last + 4:last + 8].view(np.int32)[0])
+        used = last + 8 + ((4 * nr_l + 3) & ~3) + fr_l * 128
+        snaps.append(arena[:used].copy())
+        sid = len(snaps) - 1
+        spec_l = summary[:, 0]
+        # seq = occurrence index within spec (rows are spec-major temporal)
+        starts = np.r_[0, np.flatnonzero(np.diff(spec_l)) + 1]
+        runlen = np.diff(np.r_[starts, k])
+        seq = np.arange(k, dtype=np.int64) - np.repeat(starts, runlen)
+        return (np.asarray(full_map, np.int64)[spec_l], seq,
+                summary[:, 2].astype(np.int64),
+                summary[:, 3].astype(np.int64),
+                np.full(k, _SRC_SNAP, np.int64),
+                np.full(k, sid, np.int64), offs)
+
+    def _python_rows(self, pulse, gap, fulls, eager):
+        """Exact Python slicing for ``fulls`` (native lib unavailable):
+        eager per-record columns."""
+        pd = PulseData(sample_rate=self.sample_rate)
+        pd.pulse = pulse.tolist()
+        pd.gap = gap.tolist()
+        cols = []
+        for full in fulls:
+            for e, bb in enumerate(slicers.slice_pulses(
+                    pd, self.devices[full])):
+                nr = bb.num_rows
+                mb = max((int(x) for x in bb.bits_per_row[:nr]), default=0)
+                eager.append(serialize_bitbuffer(bb))
+                one = np.ones(1, np.int64)
+                cols.append((one * full, one * e, one * nr, one * mb,
+                             one * _SRC_EAGER, one * (len(eager) - 1),
+                             one * 0))
+        return cols
+
+    def _rest_cols(self, pulse, gap, snaps, eager):
+        """Lazy summary columns for the non-kernel spec families."""
         if not self.rest_idx:
             return []
         if not self._restbank_tried:
@@ -125,28 +256,11 @@ class DeviceBank:
                 self._restbank = native_slicers.SlicerBank(
                     [self.devices[i] for i in self.rest_idx],
                     self.sample_rate)
-        out = []
         if self._restbank is not None:
-            summary, _ = self._restbank.slice(pulse, gap)
-            for row in summary:
-                out.append((self.rest_idx[int(row[0])],
-                            self._restbank.record_bytes(int(row[1]))))
-            return out
-        pd = PulseData(sample_rate=self.sample_rate)
-        pd.pulse = pulse.tolist()
-        pd.gap = gap.tolist()
-        for i in self.rest_idx:
-            for bb in slicers.slice_pulses(pd, self.devices[i]):
-                out.append((i, serialize_bitbuffer(bb)))
-        return out
-
-    def _host_lane(self, pulse, gap, dev):
-        """Exact host slicing for a flagged (train, spec) lane."""
-        pd = PulseData(sample_rate=self.sample_rate)
-        pd.pulse = pulse.tolist()
-        pd.gap = gap.tolist()
-        return [serialize_bitbuffer(bb)
-                for bb in slicers.slice_pulses(pd, dev)]
+            piece = self._native_piece(self._restbank, self.rest_idx,
+                                       pulse, gap, snaps)
+            return [piece] if piece is not None else []
+        return self._python_rows(pulse, gap, self.rest_idx, eager)
 
     # -- the batched kernel pass ------------------------------------------
 
@@ -154,8 +268,16 @@ class DeviceBank:
         """Slice every train against every spec; one kernel call per family.
 
         ``trains`` is a list of (pulse int32[n], gap int32[n]). Returns a
-        list (per train) of (summary int32[k,4], records {off: bytes}) in
-        the native bank's layout/order contract.
+        list (per train) of (summary int32[k,4], records) in the native
+        bank's layout/order contract, where ``records`` is a
+        :class:`LazyRecords` off->bytes mapping: summary rows (the gate
+        inputs) are assembled vectorized from the kernel outputs, and
+        record BYTES serialize only when a gate-surviving candidate needs
+        them (``Registry._memo_plans`` groups live rows by content, so the
+        native path's content-dedup semantics are preserved exactly).
+        Capacity- or boundary-flagged lanes fall back to one native-bank
+        pass per train (exact host semantics), Python slicers without the
+        native lib.
         """
         from ..ops.slice import (slice_dmc, slice_mc, slice_nrzs,
                                  slice_osv1, slice_pcm, slice_piwm_dc,
@@ -184,44 +306,60 @@ class DeviceBank:
             out = kernels[fam](pulse, gap, n_pulses, bounds, caps)
             fam_outs.append((fam, idx, caps,
                              {k: np.asarray(v) for k, v in out.items()}))
+        rec_fams = [(out, caps) for _fam, _idx, caps, out in fam_outs]
 
         results = []
         for b, (p, g) in enumerate(trains):
-            entries = []  # (full_spec, seq, bytes)
-            for fam, idx, caps, out in fam_outs:
-                ovf = out["ovf"][b]
+            cols = []     # (full, seq, num_rows, max_bits, kind, a, b)
+            snaps = []
+            eager = []
+            fallback = []
+            for fi, (fam, idx, caps, out) in enumerate(fam_outs):
+                ovf = np.asarray(out["ovf"][b], bool)
                 n_ev = out["n_events"][b]
-                for j, full in enumerate(idx.tolist()):
-                    if ovf[j]:
-                        for e, blob in enumerate(
-                                self._host_lane(p, g, self.devices[full])):
-                            entries.append((full, e, blob))
-                        continue
-                    for e in range(int(n_ev[j])):
-                        nr = int(out["num_rows"][b, j, e])
-                        rows = np.zeros((nr, 128), np.uint8)
-                        rows[:, :caps.row_bytes] = out["bytes"][b, j, e, :nr]
-                        blob = _serialize(
-                            nr, nr, out["bits_per_row"][b, j, e],
-                            out["syncs"][b, j, e], rows)
-                        entries.append((full, e, blob))
-            for k, (full, blob) in enumerate(self._rest_records(
-                    np.asarray(p, np.int32), np.asarray(g, np.int32))):
-                entries.append((full, k, blob))
-            entries.sort(key=lambda t: (t[0], t[1]))
-            # content-dedup into offsets + summary rows
-            by_content = {}
-            records = {}
-            summary = np.zeros((len(entries), 4), np.int32)
-            for r, (full, _seq, blob) in enumerate(entries):
-                off = by_content.get(blob)
-                if off is None:
-                    off = len(records)
-                    by_content[blob] = off
-                    records[off] = blob
-                nr = int(np.frombuffer(blob[:4], np.int32)[0])
-                bits = np.frombuffer(blob[8:8 + 2 * nr], "<u2")
-                summary[r] = (full, off, nr,
-                              int(bits.max()) if nr else 0)
+                E = out["num_rows"].shape[2]
+                livem = (~ovf)[:, None] & \
+                    (np.arange(E)[None, :] < n_ev[:, None])
+                js, es = np.nonzero(livem)
+                if js.size:
+                    nr = out["num_rows"][b][js, es]
+                    mb = out["bits_per_row"][b][js, es].max(axis=1)
+                    cols.append((idx[js].astype(np.int64),
+                                 es.astype(np.int64),
+                                 nr.astype(np.int64), mb.astype(np.int64),
+                                 np.full(js.size, fi, np.int64),
+                                 js.astype(np.int64), es.astype(np.int64)))
+                fallback += [int(idx[j]) for j in np.flatnonzero(ovf)]
+            if fallback:
+                fallback.sort()
+                bank = self._get_ovf_bank(tuple(fallback))
+                if bank is not None:
+                    piece = self._native_piece(bank, fallback, p, g, snaps)
+                    if piece is not None:
+                        cols.append(piece)
+                else:
+                    cols += self._python_rows(p, g, fallback, eager)
+            cols += self._rest_cols(np.asarray(p, np.int32),
+                                    np.asarray(g, np.int32), snaps, eager)
+            if not cols:
+                empty = np.zeros(0, np.int64)
+                results.append((np.zeros((0, 4), np.int32),
+                                LazyRecords(empty, empty, empty,
+                                            rec_fams, snaps, eager, b)))
+                continue
+            full = np.concatenate([c[0] for c in cols])
+            seq = np.concatenate([c[1] for c in cols])
+            nr = np.concatenate([c[2] for c in cols])
+            mb = np.concatenate([c[3] for c in cols])
+            kind = np.concatenate([c[4] for c in cols])
+            sa = np.concatenate([c[5] for c in cols])
+            sb = np.concatenate([c[6] for c in cols])
+            order = np.lexsort((seq, full))
+            k = len(order)
+            summary = np.stack(
+                [full[order], np.arange(k, dtype=np.int64),
+                 nr[order], mb[order]], axis=1).astype(np.int32)
+            records = LazyRecords(kind[order], sa[order], sb[order],
+                                  rec_fams, snaps, eager, b)
             results.append((summary, records))
         return results
