@@ -177,12 +177,19 @@ class BitBuffer:
         ba = np.unpackbits(bits[: (length + 7) // 8])[:length]
         pa = np.unpackbits(np.frombuffer(bytes(bytearray(pattern)),
                                          dtype=np.uint8))[:plen]
-        # ±1 correlation == plen exactly at a full match (BLAS-backed dot,
-        # far faster than per-window compares on long rows)
-        sig = ba[start:].astype(np.float32) * 2.0 - 1.0
-        pat = pa.astype(np.float32) * 2.0 - 1.0
-        corr = np.correlate(sig, pat, mode="valid")
-        hits = np.flatnonzero(corr >= np.float32(plen))
+        sig = ba[start:]
+        if plen <= 64 or sig.size - plen < 4096:
+            # windowed byte-compare on the unpacked bits (no float
+            # conversion; wins for every realistic row/pattern size)
+            win = np.lib.stride_tricks.sliding_window_view(sig, plen)
+            hits = np.flatnonzero((win == pa).all(axis=1))
+        else:
+            # ±1 correlation == plen exactly at a full match (BLAS dot;
+            # wins only for very long rows with very long patterns)
+            corr = np.correlate(sig.astype(np.float32) * 2.0 - 1.0,
+                                pa.astype(np.float32) * 2.0 - 1.0,
+                                mode="valid")
+            hits = np.flatnonzero(corr >= np.float32(plen))
         return int(start + hits[0]) if hits.size else length
 
     def manchester_decode(self, row: int, start: int, outbuf: "BitBuffer",
@@ -268,8 +275,31 @@ class BitBuffer:
                    if self.compare_rows(row, i, max_bits))
 
     def find_repeated_row(self, min_repeats: int, min_bits: int) -> int:
-        """Ref src/bitbuffer.c:513-522."""
-        for i in range(self.num_rows):
+        """Ref src/bitbuffer.c:513-522.
+
+        Vectorized all-pairs comparison for the common no-spill case
+        (every decoder candidate row calls this, so the per-pair Python
+        loop dominated cold dispatch); rows longer than one bb row spill
+        into continuation rows and take the exact per-pair path.
+        """
+        nr = self.num_rows
+        if nr == 0:
+            return -1
+        bpr = np.asarray(self.bits_per_row[:nr], np.int32)
+        if nr > 1 and self.free_row == nr and \
+                int(bpr.max()) <= BITBUF_COLS * 8:
+            # compare_rows(max_bits=0) semantics: equal bit counts and
+            # equal first ceil(bits/8) raw bytes. Bytes past the count are
+            # zeroed symmetrically, which matches comparing the prefix.
+            nb = (bpr + 7) // 8
+            col = np.arange(BITBUF_COLS, dtype=np.int32)
+            masked = np.where(col[None, :] < nb[:, None], self.bb[:nr], 0)
+            eq = (bpr[:, None] == bpr[None, :]) \
+                & (masked[:, None, :] == masked[None, :, :]).all(-1)
+            ok = (bpr >= min_bits) & (eq.sum(1) >= min_repeats)
+            idx = np.flatnonzero(ok)
+            return int(idx[0]) if idx.size else -1
+        for i in range(nr):
             if self.bits_per_row[i] >= min_bits and \
                     self.count_repeats(i, 0) >= min_repeats:
                 return i

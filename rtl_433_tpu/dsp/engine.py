@@ -104,6 +104,12 @@ class DetectorParams(NamedTuple):
                                       # so publish cost scales with actual
                                       # records, not C*log (overflow counts
                                       # into n_ring_ovf)
+    chan_groups: int = 128            # non-empty ring groups (chunks with
+                                      # >= 1 record) one channel can
+                                      # publish per block (per-channel
+                                      # group-compaction stage of the
+                                      # drain; excess records count into
+                                      # n_ring_ovf)
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -705,35 +711,82 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
     # occupy positions 0..w-1 in temporal order; groups are temporal too.
     valid = (log_key < _KEY_INVALID).reshape(C, G, R)
     w = jnp.sum(valid, axis=2, dtype=jnp.int32)          # [C, G]
-    gbase = jnp.cumsum(w, axis=1) - w                    # exclusive, [C, G]
-    counts = gbase[:, -1] + w[:, -1]                     # [C]
+
+    # ---- stage 1: per-channel GROUP compaction [C, G, R] -> [C, Kg, R]
+    # as a one-hot batched matmul on the MXU. Random gathers from the
+    # [C, S] log (~33M elements at bench scale) cost ~200 ms each on this
+    # TPU and per-row take_along_axis lowers pathologically, while an
+    # MXU pass over the same data is ~ms; compacting the (rare) non-empty
+    # ring groups first keeps every flat-arena gather on a small operand.
+    # Values are split into 8-bit bytes so the matmul is exact under ANY
+    # matmul precision (TPU lowers f32 dots to bf16 passes by default;
+    # bf16 represents integers <= 256 exactly, and each output cell sums
+    # at most one product into an f32 accumulator).
+    Kg = min(params.chan_groups, G)
+    ne = w > 0                                           # [C, G]
+    n_ne = jnp.sum(ne, axis=1, dtype=jnp.int32)          # [C]
+    grank = jnp.cumsum(ne.astype(jnp.int32), axis=1) - 1  # rank of ne grps
+    # records in groups beyond the Kg cap are dropped + counted
+    drop_g = ne & (grank >= Kg)
+    r["n_ring_ovf"] = r["n_ring_ovf"].at[0].add(
+        jnp.sum(jnp.where(drop_g, w, 0)))
+    onehot = ((grank[:, None, :]
+               == jnp.arange(Kg, dtype=jnp.int32)[None, :, None])
+              & ne[:, None, :]).astype(jnp.float32)      # [C, Kg, G]
+    planes = jnp.stack([log_key, log_p, log_g], axis=-1).reshape(C, G, R * 3)
+    P3 = R * 3
+    bytes_ = jnp.concatenate(
+        [((planes >> 24) & 0xFF).astype(jnp.float32),
+         ((planes >> 16) & 0xFF).astype(jnp.float32),
+         ((planes >> 8) & 0xFF).astype(jnp.float32),
+         (planes & 0xFF).astype(jnp.float32),
+         w[:, :, None].astype(jnp.float32)], axis=2)     # [C, G, 12R+1]
+    cg = lax.dot_general(
+        onehot, bytes_,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [C, Kg, 12R+1]
+    cg = cg.astype(jnp.int32)
+    cg_rec = ((cg[:, :, :P3] << 24) | (cg[:, :, P3:2 * P3] << 16)
+              | (cg[:, :, 2 * P3:3 * P3] << 8) | cg[:, :, 3 * P3:4 * P3])
+    cg_rec = cg_rec.reshape(C, Kg, R, 3)
+    kg_pad = jnp.arange(Kg, dtype=jnp.int32)[None, :] >= \
+        jnp.minimum(n_ne, Kg)[:, None]
+    cg_key = jnp.where(kg_pad[:, :, None], _KEY_INVALID, cg_rec[:, :, :, 0])
+    cg_p = cg_rec[:, :, :, 1]
+    cg_g = cg_rec[:, :, :, 2]
+    cg_w = jnp.where(kg_pad, 0, cg[:, :, 4 * P3])        # [C, Kg]
+
+    # ranks over the compacted groups
+    gbase2 = jnp.cumsum(cg_w, axis=1) - cg_w             # exclusive [C, Kg]
+    counts = gbase2[:, -1] + cg_w[:, -1]                 # [C]
     bases = jnp.cumsum(counts) - counts                  # exclusive, [C]
     total = bases[-1] + counts[-1]
     r["n_ring_ovf"] = r["n_ring_ovf"].at[0].add(jnp.maximum(total - F, 0))
 
-    # ---- gather-compact live records into the flat arena (channel-major,
+    # ---- stage 2: gather-compact into the flat arena (channel-major,
     # temporal within channel — the same order the per-channel compaction
-    # used, so the dedup window argument at _DEDUP_WINDOW still holds)
+    # used, so the dedup window argument at _DEDUP_WINDOW still holds).
+    # Every gather here reads small operands ([C], [C*Kg], [C*Kg*R]).
     j = jnp.arange(F, dtype=jnp.int32)
     ok_j = j < jnp.minimum(total, F)
     c_of = jnp.clip(jnp.searchsorted(bases, j, side="right").astype(
         jnp.int32) - 1, 0, C - 1)
     q = j - bases[c_of]
-    # rightmost group k with gbase[c_of, k] <= q (gbase[:, 0] == 0 <= q)
-    gb_flat = gbase.reshape(-1)
+    # rightmost compacted group k with gbase2[c_of, k] <= q
+    gb_flat = gbase2.reshape(-1)
     lo = jnp.zeros_like(j)
-    hi = jnp.full_like(j, G - 1)
-    for _ in range(max(1, (G - 1).bit_length())):
+    hi = jnp.full_like(j, Kg - 1)
+    for _ in range(max(1, (Kg - 1).bit_length())):
         mid = (lo + hi + 1) // 2
-        le = gb_flat[c_of * G + mid] <= q
+        le = gb_flat[c_of * Kg + mid] <= q
         lo = jnp.where(le, mid, lo)
         hi = jnp.where(le, hi, mid - 1)
     k_of = lo
-    i_of = q - gb_flat[c_of * G + k_of]
-    src = jnp.clip(c_of * S + k_of * R + i_of, 0, C * S - 1)
-    a_key = jnp.where(ok_j, log_key.reshape(-1)[src], _KEY_INVALID)
-    a_p = log_p.reshape(-1)[src]
-    a_g = log_g.reshape(-1)[src]
+    i_of = q - gb_flat[c_of * Kg + k_of]
+    src = jnp.clip((c_of * Kg + k_of) * R + i_of, 0, C * Kg * R - 1)
+    a_key = jnp.where(ok_j, cg_key.reshape(-1)[src], _KEY_INVALID)
+    a_p = cg_p.reshape(-1)[src]
+    a_g = cg_g.reshape(-1)[src]
 
     # keep-last dedup on the compacted arena (FSK-rewind recommits recur
     # within _DEDUP_WINDOW intervening commits; channel runs are contiguous
@@ -778,11 +831,12 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
         r["out_meta"] = r["out_meta"].at[:, s, :].set(
             jnp.where(has[:, None], meta_row, r["out_meta"][:, s, :]))
         # prefill the slot with the cross-block carry when the package
-        # started before this block (relgen == 0), else zeros
-        fb_p = jnp.take_along_axis(
-            r["carry_p"], side[:, None, None].repeat(mp, 2), axis=1)[:, 0]
-        fb_g = jnp.take_along_axis(
-            r["carry_g"], side[:, None, None].repeat(mp, 2), axis=1)[:, 0]
+        # started before this block (relgen == 0), else zeros. Side has
+        # two values, so this is a select — take_along_axis here lowered
+        # to a ~60 ms gather per slot on TPU (round-4 micro-bench).
+        side_c = (side == 1)[:, None]
+        fb_p = jnp.where(side_c, r["carry_p"][:, 1], r["carry_p"][:, 0])
+        fb_g = jnp.where(side_c, r["carry_g"][:, 1], r["carry_g"][:, 0])
         use_carry = (has & (relg == 0))[:, None]
         fb_p = jnp.where(use_carry, fb_p, 0)
         fb_g = jnp.where(use_carry, fb_g, 0)

@@ -136,9 +136,11 @@ def timeshard_process_block(params: DetectorParams, mesh: Mesh,
 
     def _take_cand(leaf3, sel):
         """Select one of 3 hedge candidates per channel: leaf3 [3, C, ...],
-        sel [C] -> [C, ...]."""
-        s = sel.reshape((1,) + sel.shape + (1,) * (leaf3.ndim - 2))
-        return jnp.take_along_axis(leaf3, s, axis=0)[0]
+        sel [C] -> [C, ...]. Written as a select chain — take_along_axis
+        over a size-3 axis lowers to a ~60 ms/leaf gather on TPU."""
+        s = sel.reshape(sel.shape + (1,) * (leaf3.ndim - 2))
+        return jnp.where(s == 0, leaf3[0],
+                         jnp.where(s == 1, leaf3[1], leaf3[2]))
 
     def local(seed, iq_sh, n_valid, gen0):
         C, S, _ = iq_sh.shape
