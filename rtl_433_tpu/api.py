@@ -20,7 +20,7 @@ from .dsp import DetectorParams, detector_init, process_block
 from .dsp.engine import take_packages, PKG_FSK
 from .io import parse_filename, load_iq
 from .output.data_model import Event, convert_units
-from .output.logger import (LOG_NOTICE, LOG_TRACE, LOG_WARNING,
+from .output.logger import (LOG_ERROR, LOG_NOTICE, LOG_TRACE, LOG_WARNING,
                             print_logf)
 from .pulse.data import PulseData, rfraw_check, rfraw_parse
 from .pulse import slicers as _slicers
@@ -47,6 +47,23 @@ def _enable_compile_cache():
     except Exception:
         pass
     _cache_enabled = True
+
+
+_jit_memo = {}
+
+
+def _block_jit(params: DetectorParams):
+    """Process-wide memo of the jitted block step, keyed by the (hashable)
+    params tuple: fresh RtlTpu instances — the corpus/fixture suites build
+    hundreds — reuse the already-traced executable instead of re-tracing
+    (~7 s/instance on CPU even with the persistent compile cache)."""
+    fn = _jit_memo.get(params)
+    if fn is None:
+        import jax
+        fn = jax.jit(functools.partial(process_block, params),
+                     static_argnames=("flush",), donate_argnums=(0,))
+        _jit_memo[params] = fn
+    return fn
 
 
 class RtlTpu:
@@ -151,16 +168,18 @@ class RtlTpu:
     def set_frequency(self, hz: float):
         """Retune: pipeline params AND the live radio, when one is
         connected (ref set_center_freq, src/r_api.c:82-89)."""
-        self.center_frequency = float(hz)
-        self._invalidate()
+        if float(hz) != self.center_frequency:
+            self.center_frequency = float(hz)
+            self._invalidate()
         live = getattr(self, "_live", None)
         if live is not None:
             live.set_center_freq(int(self.center_frequency))
 
     def set_sample_rate(self, rate: int):
         """(ref set_sample_rate, src/r_api.c:91-99)"""
-        self.sample_rate = int(rate)
-        self._invalidate()
+        if int(rate) != self.sample_rate:
+            self.sample_rate = int(rate)
+            self._invalidate()
         live = getattr(self, "_live", None)
         if live is not None:
             live.set_sample_rate(self.sample_rate)
@@ -193,6 +212,16 @@ class RtlTpu:
         self._state = None
         self._params = None
         self._jit = None
+
+    def _reset_flow(self):
+        """reset_sdr_flow equivalent: clear carried DSP/detector state
+        between input files (ref src/r_flow.c:79-97) WITHOUT dropping the
+        compiled pipeline — re-tracing costs seconds per file."""
+        if self._params is not None:
+            self._state = detector_init(self._params, self.channels)
+            self._ovf_seen = 0
+            self._drop_seen = 0
+        self._stream_pos = 0
 
     def _relevel(self):
         """Apply the autolevel-adjusted minimum level (pulse_detect_set_levels
@@ -236,19 +265,24 @@ class RtlTpu:
                 min_high_level=self.min_level_auto,
                 high_low_ratio=self.min_snr_db,
                 fm_low_pass=self.fm_filter,
-                unroll=16 if on_tpu else 1,
+                unroll=16 if on_tpu else 2,
                 # fused Pallas front-end + all-idle fast path on hardware;
                 # wider drain interval amortizes the publish path on dense
                 # signal (overflow tracked in n_ring_ovf)
                 chunk=128,
                 ring=8,
                 eops=2,
+                # file replay / few-channel runs can legitimately finish
+                # more than 8 packages per block on one channel (the
+                # reference has no such cap); the big multi-channel meshes
+                # keep the small cap since out buffers scale C*cap*1200
+                pkg_cap=32 if self.channels <= 16 else 8,
                 pallas_frontend=on_tpu)
             self._state = detector_init(self._params, self.channels)
-            import jax
-            self._jit = jax.jit(
-                functools.partial(process_block, self._params),
-                static_argnames=("flush",), donate_argnums=(0,))
+            # loss counters already surfaced (push_block warns on deltas)
+            self._ovf_seen = 0
+            self._drop_seen = 0
+            self._jit = _block_jit(self._params)
             self._stream_pos = 0
 
     # -- block flow -------------------------------------------------------------
@@ -302,6 +336,23 @@ class RtlTpu:
                 and must_process:
             self._track_noise(float(np.asarray(avg_db)[0]))
         pkgs, self._state = take_packages(self._state)
+        # any capacity overflow is LOUD: records/packages must never vanish
+        # silently (round-4 postmortem — the chan_groups drain regression
+        # was counted into n_ring_ovf but nothing read it). The group-cap
+        # path is exact by construction now (lax.cond fallback); what's
+        # left here is arena (>arena records/block) and pkg_cap overflow,
+        # both structural capacity limits worth shouting about.
+        ovf = int(np.asarray(self._state["n_ring_ovf"]).sum()) \
+            + int(np.asarray(self._state["n_fsk_ovf"]).sum())
+        drop = int(np.asarray(self._state["n_pkg_drop"]).sum())
+        if ovf > self._ovf_seen or drop > self._drop_seen:
+            print_logf(
+                LOG_ERROR, "engine",
+                "capacity overflow: %d pulse records and %d packages lost "
+                "this block (totals: ring/arena ovf %d, pkg drops %d) — "
+                "raise DetectorParams.arena/pkg_cap or narrow the block",
+                ovf - self._ovf_seen, drop - self._drop_seen, ovf, drop)
+            self._ovf_seen, self._drop_seen = ovf, drop
         events = 0
         self.frames_count += 1
         if self.registry.device_slice and pkgs:
@@ -538,25 +589,28 @@ class RtlTpu:
         if path.lower().endswith(".sigmf"):
             from .io import sigmf
             info_s = sigmf.read(path)
-            if info_s.sample_rate:
+            if info_s.sample_rate and info_s.sample_rate != self.sample_rate:
                 self.sample_rate = info_s.sample_rate
                 self._invalidate()
-            if info_s.frequency:
+            if info_s.frequency and \
+                    float(info_s.frequency) != self.center_frequency:
                 self.center_frequency = float(info_s.frequency)
                 self._invalidate()
             iq = info_s.data
         else:
             info = parse_filename(path)
-            if info.sample_rate:
+            if info.sample_rate and info.sample_rate != self.sample_rate:
                 self.sample_rate = info.sample_rate
                 self._invalidate()
-            if info.center_frequency:
+            if info.center_frequency and \
+                    info.center_frequency != self.center_frequency:
                 self.center_frequency = info.center_frequency
                 self._invalidate()
             fmt = info.format or "cu8"
             if fmt == "ook":
                 return self.decode_ook_file(info.path)
             iq = load_iq(info.path, fmt)
+        self._reset_flow()
         start = len(self.events)
         n = iq.shape[0]
         # -M replay[:N]: pace blocks against a wall-clock schedule at

@@ -104,12 +104,13 @@ class DetectorParams(NamedTuple):
                                       # so publish cost scales with actual
                                       # records, not C*log (overflow counts
                                       # into n_ring_ovf)
-    chan_groups: int = 128            # non-empty ring groups (chunks with
-                                      # >= 1 record) one channel can
-                                      # publish per block (per-channel
-                                      # group-compaction stage of the
-                                      # drain; excess records count into
-                                      # n_ring_ovf)
+    chan_groups: int = 128            # fast-drain budget: non-empty ring
+                                      # groups (chunks with >= 1 record)
+                                      # per channel the MXU group-compaction
+                                      # stage handles; any channel exceeding
+                                      # it routes the WHOLE block through an
+                                      # exact (slower) drain via lax.cond —
+                                      # the cap never drops records
 
     @property
     def ook_fixed_high_level(self) -> int:
@@ -711,82 +712,117 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
     # occupy positions 0..w-1 in temporal order; groups are temporal too.
     valid = (log_key < _KEY_INVALID).reshape(C, G, R)
     w = jnp.sum(valid, axis=2, dtype=jnp.int32)          # [C, G]
-
-    # ---- stage 1: per-channel GROUP compaction [C, G, R] -> [C, Kg, R]
-    # as a one-hot batched matmul on the MXU. Random gathers from the
-    # [C, S] log (~33M elements at bench scale) cost ~200 ms each on this
-    # TPU and per-row take_along_axis lowers pathologically, while an
-    # MXU pass over the same data is ~ms; compacting the (rare) non-empty
-    # ring groups first keeps every flat-arena gather on a small operand.
-    # Values are split into 8-bit bytes so the matmul is exact under ANY
-    # matmul precision (TPU lowers f32 dots to bf16 passes by default;
-    # bf16 represents integers <= 256 exactly, and each output cell sums
-    # at most one product into an f32 accumulator).
-    Kg = min(params.chan_groups, G)
-    ne = w > 0                                           # [C, G]
-    n_ne = jnp.sum(ne, axis=1, dtype=jnp.int32)          # [C]
-    grank = jnp.cumsum(ne.astype(jnp.int32), axis=1) - 1  # rank of ne grps
-    # records in groups beyond the Kg cap are dropped + counted
-    drop_g = ne & (grank >= Kg)
-    r["n_ring_ovf"] = r["n_ring_ovf"].at[0].add(
-        jnp.sum(jnp.where(drop_g, w, 0)))
-    onehot = ((grank[:, None, :]
-               == jnp.arange(Kg, dtype=jnp.int32)[None, :, None])
-              & ne[:, None, :]).astype(jnp.float32)      # [C, Kg, G]
-    planes = jnp.stack([log_key, log_p, log_g], axis=-1).reshape(C, G, R * 3)
-    P3 = R * 3
-    bytes_ = jnp.concatenate(
-        [((planes >> 24) & 0xFF).astype(jnp.float32),
-         ((planes >> 16) & 0xFF).astype(jnp.float32),
-         ((planes >> 8) & 0xFF).astype(jnp.float32),
-         (planes & 0xFF).astype(jnp.float32),
-         w[:, :, None].astype(jnp.float32)], axis=2)     # [C, G, 12R+1]
-    cg = lax.dot_general(
-        onehot, bytes_,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # [C, Kg, 12R+1]
-    cg = cg.astype(jnp.int32)
-    cg_rec = ((cg[:, :, :P3] << 24) | (cg[:, :, P3:2 * P3] << 16)
-              | (cg[:, :, 2 * P3:3 * P3] << 8) | cg[:, :, 3 * P3:4 * P3])
-    cg_rec = cg_rec.reshape(C, Kg, R, 3)
-    kg_pad = jnp.arange(Kg, dtype=jnp.int32)[None, :] >= \
-        jnp.minimum(n_ne, Kg)[:, None]
-    cg_key = jnp.where(kg_pad[:, :, None], _KEY_INVALID, cg_rec[:, :, :, 0])
-    cg_p = cg_rec[:, :, :, 1]
-    cg_g = cg_rec[:, :, :, 2]
-    cg_w = jnp.where(kg_pad, 0, cg[:, :, 4 * P3])        # [C, Kg]
-
-    # ranks over the compacted groups
-    gbase2 = jnp.cumsum(cg_w, axis=1) - cg_w             # exclusive [C, Kg]
-    counts = gbase2[:, -1] + cg_w[:, -1]                 # [C]
+    gbase = jnp.cumsum(w, axis=1) - w                    # exclusive, [C, G]
+    counts = gbase[:, -1] + w[:, -1]                     # [C]
     bases = jnp.cumsum(counts) - counts                  # exclusive, [C]
     total = bases[-1] + counts[-1]
+    # arena overflow (>F records in one block, all channels) is counted AND
+    # surfaced: api.push_block reads the delta per block and warns loudly
     r["n_ring_ovf"] = r["n_ring_ovf"].at[0].add(jnp.maximum(total - F, 0))
 
-    # ---- stage 2: gather-compact into the flat arena (channel-major,
-    # temporal within channel — the same order the per-channel compaction
-    # used, so the dedup window argument at _DEDUP_WINDOW still holds).
-    # Every gather here reads small operands ([C], [C*Kg], [C*Kg*R]).
+    # arena slot -> (channel, within-channel rank), identical either way
     j = jnp.arange(F, dtype=jnp.int32)
     ok_j = j < jnp.minimum(total, F)
     c_of = jnp.clip(jnp.searchsorted(bases, j, side="right").astype(
         jnp.int32) - 1, 0, C - 1)
     q = j - bases[c_of]
-    # rightmost compacted group k with gbase2[c_of, k] <= q
-    gb_flat = gbase2.reshape(-1)
-    lo = jnp.zeros_like(j)
-    hi = jnp.full_like(j, Kg - 1)
-    for _ in range(max(1, (Kg - 1).bit_length())):
-        mid = (lo + hi + 1) // 2
-        le = gb_flat[c_of * Kg + mid] <= q
-        lo = jnp.where(le, mid, lo)
-        hi = jnp.where(le, hi, mid - 1)
-    k_of = lo
-    i_of = q - gb_flat[c_of * Kg + k_of]
-    src = jnp.clip((c_of * Kg + k_of) * R + i_of, 0, C * Kg * R - 1)
-    a_key = jnp.where(ok_j, cg_key.reshape(-1)[src], _KEY_INVALID)
-    a_p = cg_p.reshape(-1)[src]
-    a_g = cg_g.reshape(-1)[src]
+
+    def _arena_exact(_):
+        """Direct binary search over all G ring groups of the raw log.
+
+        Exact for any record distribution — this is the drain used whenever
+        a channel publishes more than `chan_groups` non-empty groups (e.g.
+        single-channel file replay), so the group cap can never drop a
+        record. Slower on TPU at bench scale (gathers over the [C, S] log,
+        ~33M elements) which is why the compacted path below exists.
+        """
+        gb_flat = gbase.reshape(-1)
+        lo = jnp.zeros_like(j)
+        hi = jnp.full_like(j, G - 1)
+        for _ in range(max(1, (G - 1).bit_length())):
+            mid = (lo + hi + 1) // 2
+            le = gb_flat[c_of * G + mid] <= q
+            lo = jnp.where(le, mid, lo)
+            hi = jnp.where(le, hi, mid - 1)
+        k_of = lo
+        i_of = q - gb_flat[c_of * G + k_of]
+        src = jnp.clip(c_of * S + k_of * R + i_of, 0, C * S - 1)
+        return (jnp.where(ok_j, log_key.reshape(-1)[src], _KEY_INVALID),
+                log_p.reshape(-1)[src], log_g.reshape(-1)[src])
+
+    Kg = min(params.chan_groups, G)
+    ne = w > 0                                           # [C, G]
+    n_ne = jnp.sum(ne, axis=1, dtype=jnp.int32)          # [C]
+
+    def _arena_compacted(_):
+        """Per-channel GROUP compaction [C, G, R] -> [C, Kg, R] as a one-hot
+        batched matmul on the MXU, then small gathers.
+
+        Random gathers from the [C, S] log (~33M elements at bench scale)
+        cost ~200 ms each on this TPU and per-row take_along_axis lowers
+        pathologically, while an MXU pass over the same data is ~ms;
+        compacting the (rare) non-empty ring groups first keeps every
+        flat-arena gather on a small operand. Values are split into 8-bit
+        bytes so the matmul is exact under ANY matmul precision (TPU lowers
+        f32 dots to bf16 passes by default; bf16 represents integers <= 256
+        exactly, and each output cell sums at most one product into an f32
+        accumulator). Only taken when every channel fits in Kg groups (the
+        cond predicate), so the cap cannot drop records.
+        """
+        grank = jnp.cumsum(ne.astype(jnp.int32), axis=1) - 1  # ne-grp rank
+        onehot = ((grank[:, None, :]
+                   == jnp.arange(Kg, dtype=jnp.int32)[None, :, None])
+                  & ne[:, None, :]).astype(jnp.float32)      # [C, Kg, G]
+        planes = jnp.stack([log_key, log_p, log_g],
+                           axis=-1).reshape(C, G, R * 3)
+        P3 = R * 3
+        bytes_ = jnp.concatenate(
+            [((planes >> 24) & 0xFF).astype(jnp.float32),
+             ((planes >> 16) & 0xFF).astype(jnp.float32),
+             ((planes >> 8) & 0xFF).astype(jnp.float32),
+             (planes & 0xFF).astype(jnp.float32),
+             w[:, :, None].astype(jnp.float32)], axis=2)     # [C, G, 12R+1]
+        cg = lax.dot_general(
+            onehot, bytes_,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # [C, Kg, 12R+1]
+        cg = cg.astype(jnp.int32)
+        cg_rec = ((cg[:, :, :P3] << 24) | (cg[:, :, P3:2 * P3] << 16)
+                  | (cg[:, :, 2 * P3:3 * P3] << 8)
+                  | cg[:, :, 3 * P3:4 * P3])
+        cg_rec = cg_rec.reshape(C, Kg, R, 3)
+        kg_pad = jnp.arange(Kg, dtype=jnp.int32)[None, :] >= \
+            jnp.minimum(n_ne, Kg)[:, None]
+        cg_key = jnp.where(kg_pad[:, :, None], _KEY_INVALID,
+                           cg_rec[:, :, :, 0])
+        cg_w = jnp.where(kg_pad, 0, cg[:, :, 4 * P3])        # [C, Kg]
+
+        # ranks over the compacted groups (totals match the raw ranks:
+        # every non-empty group was kept, so bases/q above stay valid)
+        gbase2 = jnp.cumsum(cg_w, axis=1) - cg_w             # excl [C, Kg]
+        gb_flat = gbase2.reshape(-1)
+        lo = jnp.zeros_like(j)
+        hi = jnp.full_like(j, Kg - 1)
+        for _ in range(max(1, (Kg - 1).bit_length())):
+            mid = (lo + hi + 1) // 2
+            le = gb_flat[c_of * Kg + mid] <= q
+            lo = jnp.where(le, mid, lo)
+            hi = jnp.where(le, hi, mid - 1)
+        k_of = lo
+        i_of = q - gb_flat[c_of * Kg + k_of]
+        src = jnp.clip((c_of * Kg + k_of) * R + i_of, 0, C * Kg * R - 1)
+        return (jnp.where(ok_j, cg_key.reshape(-1)[src], _KEY_INVALID),
+                cg_rec[:, :, :, 1].reshape(-1)[src],
+                cg_rec[:, :, :, 2].reshape(-1)[src])
+
+    if Kg >= G:
+        # cap can't bind and the compaction would be an identity matmul
+        a_key, a_p, a_g = _arena_exact(None)
+    else:
+        # the fast path is only valid when every channel's non-empty groups
+        # fit under the cap; otherwise take the exact drain for this block
+        a_key, a_p, a_g = lax.cond(jnp.max(n_ne) > Kg,
+                                   _arena_exact, _arena_compacted, None)
 
     # keep-last dedup on the compacted arena (FSK-rewind recommits recur
     # within _DEDUP_WINDOW intervening commits; channel runs are contiguous

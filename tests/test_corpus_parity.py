@@ -32,7 +32,7 @@ BIN = "/tmp/rtlbuild/src/rtl_433"
 # above the FM demodulator's low-pass cutoff (sample_rate/10) at any
 # cu8-realistic rate, so no IQ capture can carry it through the reference
 # pipeline either (ref src/baseband.c FM LPF; src/devices/ant_antplus.c)
-MIN_PARITY_PROTOCOLS = 370
+MIN_PARITY_PROTOCOLS = 374
 
 
 def _normalize(ev):

@@ -243,3 +243,40 @@ def test_arena_size_invariance():
                 assert x["gap"].tolist() == y["gap"].tolist()
                 assert x["ook_low_estimate"] == y["ook_low_estimate"]
                 assert x["start"] == y["start"] and x["end"] == y["end"]
+
+
+def test_group_cap_exact_fallback_never_drops():
+    """A channel with more non-empty chunk-groups than `chan_groups` must
+    lose NOTHING: the capped MXU fast drain is guarded by a lax.cond that
+    routes such blocks through the exact drain (round-4 regression: the
+    cap silently dropped records on single-channel file replay)."""
+    iq = np.concatenate([PWM_SIG(), PPM_SIG(), PWM_SIG()])
+    base = DetectorParams()
+    # chan_groups=2 forces the exact path on every record-bearing block
+    capped = DetectorParams(chan_groups=2)
+    for blk in (None, 10_000):
+        a = run_engine(iq, base, block_len=blk)
+        b = run_engine(iq, capped, block_len=blk)
+        assert len(a) == len(b) and len(a) >= 6
+        for x, y in zip(a, b):
+            assert x["pulse"].tolist() == y["pulse"].tolist()
+            assert x["gap"].tolist() == y["gap"].tolist()
+            assert x["start"] == y["start"] and x["end"] == y["end"]
+    # and the oracle agrees end-to-end
+    assert_match(run_engine(iq, capped), run_oracle(iq, base))
+
+
+def test_group_cap_overflow_counter_stays_zero():
+    """With the exact fallback, the cap must not count (or cause) ring
+    overflow: n_ring_ovf stays 0 even when chan_groups is exceeded."""
+    iq = PWM_SIG()
+    params = DetectorParams(chan_groups=1)
+    N = iq.shape[0]
+    pad = (-N) % params.chunk
+    blkp = np.pad(iq, ((0, pad), (0, 0)), constant_values=128)[None]
+    state = detector_init(params, 1)
+    pb = jax.jit(functools.partial(process_block, params),
+                 static_argnames=("flush",))
+    state, _ = pb(state, jnp.asarray(blkp), jnp.int32(N), flush=True)
+    assert int(np.asarray(state["n_ring_ovf"]).sum()) == 0
+    assert int(np.asarray(state["n_pkg_drop"]).sum()) == 0
