@@ -14,7 +14,12 @@ import threading
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO = os.path.join(_NATIVE_DIR, "libtpu433_ingest.so")
+# TPU433_NATIVE_ASAN=1 swaps in the ASan+UBSan instrumented build (the
+# caller must LD_PRELOAD libasan — tests/test_native_asan.py does)
+_SO_NAME = ("libtpu433_ingest_asan.so"
+            if os.environ.get("TPU433_NATIVE_ASAN")
+            else "libtpu433_ingest.so")
+_SO = os.path.join(_NATIVE_DIR, _SO_NAME)
 _lib = None
 _lock = threading.Lock()
 
@@ -27,8 +32,8 @@ def _load():
         # Always invoke make (no-op when fresh) so edits to ingest.cpp are
         # never shadowed by a stale binary.
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR,
-                            "libtpu433_ingest.so"], check=True,
+            subprocess.run(["make", "-C", _NATIVE_DIR, _SO_NAME],
+                           check=True,
                            capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError):
             if not os.path.exists(_SO):

@@ -24,7 +24,11 @@ import numpy as np
 from ..bits.bitbuffer import BitBuffer
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SO = os.path.join(_NATIVE_DIR, "libtpu433_slicers.so")
+# TPU433_NATIVE_ASAN=1 swaps in the ASan+UBSan instrumented build (the
+# caller must LD_PRELOAD libasan — tests/test_native_asan.py does)
+_ASAN = bool(os.environ.get("TPU433_NATIVE_ASAN"))
+_SO_NAME = "libtpu433_slicers_asan.so" if _ASAN else "libtpu433_slicers.so"
+_SO = os.path.join(_NATIVE_DIR, _SO_NAME)
 _lib = None
 _lock = threading.Lock()
 
@@ -76,8 +80,7 @@ def _load():
         # Always invoke make: it is a no-op when the .so is fresh, and it
         # guarantees a stale/foreign binary never shadows edited sources.
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR,
-                            "libtpu433_slicers.so"],
+            subprocess.run(["make", "-C", _NATIVE_DIR, _SO_NAME],
                            check=True, capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError):
             if not os.path.exists(_SO):

@@ -22,3 +22,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache for ALL tests (api enables it for its own
+# pipelines, but detector/sharding tests jit directly): the suite's wall
+# clock is dominated by recompiles of the same engine configurations.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TPU433_CACHE", "/tmp/tpu433_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
