@@ -106,6 +106,16 @@ ARG_STATEFUL_DECODERS = {"vivint", "arad_ms_meter"}
 
 _MISS = object()
 
+_decl_syms_cache = None
+
+
+def _decl_symbols():
+    global _decl_syms_cache
+    if _decl_syms_cache is None:
+        from .declarative import DECL
+        _decl_syms_cache = frozenset(DECL)
+    return _decl_syms_cache
+
 
 class Registry:
     """Protocol registry with rtl_433 -R semantics."""
@@ -150,6 +160,10 @@ class Registry:
         # decoder verbosity (-vv.. => 1..3) and -M bits row dumps
         self.decoder_verbose = 0
         self.verbose_bits = False
+        # declarative decoder bank (decoders/declarative.py): batched
+        # kernel decode for spec'd protocols; Python decode_fns stay the
+        # differential oracle and the fallback
+        self.decl_decode = True
 
     def __len__(self):
         return sum(1 for d in self.slots if d is not None)
@@ -564,15 +578,7 @@ class Registry:
                 if events:
                     emitting.append((row, dev, events))
 
-            for i, off, n_calls, rows in plan["uniq"]:
-                dev = devs[i]
-                ckey = (want_fsk, i, records[off])
-                ret = dec_cache.get(ckey, _MISS)
-                if ret is _MISS:
-                    ret = dev.decode_fn(_mat(off).clone(), dev)
-                    if len(dec_cache) >= self.dec_cache_max:
-                        dec_cache.clear()
-                    dec_cache[ckey] = ret
+            def _account(dev, ret, n_calls, rows):
                 if isinstance(ret, list) and ret:
                     dev.decode_events += n_calls
                     dev.decode_ok += n_calls
@@ -589,6 +595,40 @@ class Registry:
                         name = DECODE_CODE_NAMES.get(ret, "other")
                     dev.decode_fails[name] = \
                         dev.decode_fails.get(name, 0) + n_calls
+
+            # declarative decoders: collect this priority's cache misses
+            # and decode them in ONE batched kernel call (the device
+            # decoder bank, decoders/declarative.py + ops/decode_bank.py)
+            decl_syms = _decl_symbols() if self.decl_decode else ()
+            decl_batch = []
+            for i, off, n_calls, rows in plan["uniq"]:
+                dev = devs[i]
+                ckey = (want_fsk, i, records[off])
+                ret = dec_cache.get(ckey, _MISS)
+                if ret is _MISS:
+                    if dev.symbol in decl_syms:
+                        decl_batch.append((i, off, n_calls, rows, ckey))
+                        continue
+                    ret = dev.decode_fn(_mat(off).clone(), dev)
+                    if len(dec_cache) >= self.dec_cache_max:
+                        dec_cache.clear()
+                    dec_cache[ckey] = ret
+                _account(dev, ret, n_calls, rows)
+            if decl_batch:
+                from .declarative import FALLBACK, get_runner
+                runner = get_runner()
+                outs = runner.decode_many(
+                    [(devs[i].symbol, _mat(off))
+                     for i, off, _n, _r, _k in decl_batch])
+                for (i, off, n_calls, rows, ckey), ret in \
+                        zip(decl_batch, outs):
+                    dev = devs[i]
+                    if ret is FALLBACK:  # row exceeds the bank input width
+                        ret = dev.decode_fn(_mat(off).clone(), dev)
+                    if len(dec_cache) >= self.dec_cache_max:
+                        dec_cache.clear()
+                    dec_cache[ckey] = ret
+                    _account(dev, ret, n_calls, rows)
 
             # deliver in the reference's order: by decoder, then temporal
             emitting.sort(key=lambda t: t[0])
