@@ -1,0 +1,692 @@
+"""Declarative decoder spec table.
+
+Each spec cites the reference decoder it mirrors; the Python twin in this
+package stays registered and is the differential oracle
+(tests/test_declarative.py fuzzes every spec against it). See
+decoders/declarative.py for the IR and ops/decode_bank.py for the kernel.
+"""
+
+from .declarative import (Check, DeclSpec, F, Raw, San, Variant, _spec)
+from .base import DECODE_ABORT_EARLY
+
+
+_spec(DeclSpec(
+    # Nexus-TH/T (ref src/devices/nexus.c:44-140; decoders/protocols.py
+    # _nexus_like): 36-bit row repeated 3x, type nibble F, 12-bit signed
+    # temperature, humidity 0 = Nexus-T
+    symbol="nexus",
+    min_bits=36, max_bits=37, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=36, frame_bits=40, in_bits=296,
+    # reject the Rubicson CRC coincidence (ref src/devices/nexus.c:77-88):
+    # crc8(poly 0x31, init 0x6C) over the 40-bit window
+    # [b0, b1, b2, b3&F0, (b3&0F)<<4 | (b4&F0)>>4] must be NONZERO
+    checks=(Check("crc8", off=0, nbytes=5, p1=0x31, p2=0x6C,
+                  cmp_const=0, negated=True,
+                  bit_map=tuple(range(28)) + (-1,) * 4
+                  + tuple(range(28, 36))),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 1),          # 1 battery
+          Raw(10, 2),         # 2 channel-1 (and the != 3 guard)
+          Raw(12, 12),        # 3 temperature raw (signed 12)
+          Raw(28, 8),         # 4 humidity
+          Raw(9, 1),          # 5 test
+          Raw(24, 4),         # 6 type nibble (must be F)
+          # 7: b0|b2|b3 combined — the all-0 / all-FF guards
+          Raw(0, 24, bit_order=tuple(range(0, 8)) + tuple(range(16, 32)))),
+    sanity=(San(6, "eq", 0xF),
+            San(2, "ne", 0x3),
+            San(7, "ne", 0x000000),
+            San(7, "ne", 0xFFFFFF),
+            San(4, "le", 100),),
+    variants=(
+        Variant(cond=San(4, "eq", 0), fields=(
+            F("model", "const", value="Nexus-T"),
+            F("id", terms=((0, 1, 0),), pretty="House Code"),
+            F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
+            F("battery_ok", kind="bool", terms=((1, 1, 0),),
+              pretty="Battery"),
+            F("temperature_C", kind="float", terms=((3, 1, 12),),
+              mul=0.1, pretty="Temperature", fmt="%.2f C"),
+            F("test", kind="bool", terms=((5, 1, 0),), pretty="Test?",
+              cond=San(5, "ne", 0)),
+        )),
+        Variant(fields=(
+            F("model", "const", value="Nexus-TH"),
+            F("id", terms=((0, 1, 0),), pretty="House Code"),
+            F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
+            F("battery_ok", kind="bool", terms=((1, 1, 0),),
+              pretty="Battery"),
+            F("temperature_C", kind="float", terms=((3, 1, 12),),
+              mul=0.1, pretty="Temperature", fmt="%.2f C"),
+            F("humidity", terms=((4, 1, 0),), pretty="Humidity",
+              fmt="%u %%"),
+            F("test", kind="bool", terms=((5, 1, 0),), pretty="Test?",
+              cond=San(5, "ne", 0)),
+        )),
+    ),
+))
+
+
+_spec(DeclSpec(
+    # Jasco-Security (ref src/devices/jasco.c; decoders/misc_a.py jasco):
+    # fc0c preamble, Manchester, 4-byte XOR checksum
+    symbol="jasco",
+    min_bits=80, max_bits=87, row_mode="row0",
+    preamble="1111110000001100", need_bits=64,
+    # frame_bits covers the RAW window; Manchester halves it, so checks
+    # and raws below address DECODED bit positions (0..31)
+    transform="manchester", mc_min=32, frame_bits=64, in_bits=160,
+    checks=(Check("xor_bytes", off=0, nbytes=4, cmp_const=0),),
+    raws=(Raw(0, 16),         # 0 id
+          Raw(16, 8)),        # 1 b2 (status source)
+    variants=(Variant(fields=(
+        F("model", "const", value="Jasco-Security"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("status", kind="eq", terms=((1, 1, 0),), mask=0xEF, val=0xEF,
+          pretty="Closed"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+# ---------------------------------------------------------------------------
+# OOK PPM/PWM sensor family
+# ---------------------------------------------------------------------------
+
+_spec(DeclSpec(
+    # Silvercrest remote (ref src/devices/silvercrest.c:19-49;
+    # decoders/protocols.py silvercrest): row 1 is 33 bits, 7c26 prefix,
+    # button nibble validated via a lookup pair table
+    symbol="silvercrest",
+    min_bits=33, max_bits=33, row_mode="fixed", fixed_row=1,
+    exact_lens=(33,), frame_bits=33, in_bits=64,
+    raws=(Raw(0, 16),                                  # 0 prefix
+          Raw(20, 4),                                  # 1 cmd
+          # 2: (cmd << 4) | check nibble
+          Raw(0, 8, bit_order=tuple(range(20, 24)) + tuple(range(28, 32)))),
+    sanity=(San(0, "eq", 0x7C26),
+            San(2, "in", (0x02, 0x13, 0x20, 0x31, 0x44, 0x55, 0x67, 0x76,
+                          0x8C, 0x9D, 0xAF, 0xBE, 0xC8, 0xD9, 0xEB, 0xFA)),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Silvercrest-Remote"),
+        F("button", terms=((1, 1, 0),)),
+    )),),
+))
+
+
+_RUBICSON_CRC = Check(
+    # crc8(0x31, 0x6c) over [b0, b1, b2, b3&F0, (b3&0F)<<4 | (b4&F0)>>4]
+    # (ref src/devices/rubicson.c)
+    "crc8", off=0, nbytes=5, p1=0x31, p2=0x6C, cmp_const=0,
+    bit_map=tuple(range(28)) + (-1,) * 4 + tuple(range(28, 36)))
+
+_spec(DeclSpec(
+    # Rubicson temperature (ref src/devices/rubicson.c; protocols.py)
+    symbol="rubicson",
+    min_bits=36, max_bits=38, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=36, frame_bits=40, in_bits=296,
+    checks=(_RUBICSON_CRC,),
+    raws=(Raw(0, 8), Raw(8, 1), Raw(10, 2), Raw(12, 12), Raw(24, 4)),
+    sanity=(San(4, "eq", 0xF),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Rubicson-Temperature"),
+        F("id", terms=((0, 1, 0),), pretty="House Code"),
+        F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", kind="bool", terms=((1, 1, 0),), pretty="Battery"),
+        F("temperature_C", kind="float", terms=((3, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _prologue_guard(bits):
+    # short noise row 0 aborts the whole package (ref src/devices/prologue.c)
+    if 0 < bits.bits_per_row[0] <= 8:
+        return DECODE_ABORT_EARLY
+    return None
+
+
+_spec(DeclSpec(
+    # Prologue/ThermoPro-TX2 (ref src/devices/prologue.c; protocols.py)
+    symbol="prologue",
+    min_bits=36, max_bits=37, row_mode="repeat", min_repeats=4,
+    repeat_min_bits=36, host_guard=_prologue_guard,
+    frame_bits=40, in_bits=296,
+    raws=(Raw(0, 4),          # 0 type
+          Raw(4, 8),          # 1 id
+          Raw(12, 1),         # 2 battery
+          Raw(13, 1),         # 3 button
+          Raw(14, 2),         # 4 channel-1
+          Raw(16, 12),        # 5 temp (signed 12)
+          Raw(28, 8)),        # 6 humidity
+    sanity=(San(0, "in", (0x9, 0x5)),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Prologue-TH"),
+        F("subtype", terms=((0, 1, 0),)),
+        F("id", terms=((1, 1, 0),)),
+        F("channel", terms=((4, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", kind="bool", terms=((2, 1, 0),), pretty="Battery"),
+        F("temperature_C", kind="float", terms=((5, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.2f C"),
+        F("humidity", terms=((6, 1, 0),), pretty="Humidity", fmt="%u %%",
+          cond=San(6, "ne", 0xCC)),
+        F("button", terms=((3, 1, 0),), pretty="Button"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Waveman switch (ref src/devices/waveman.c:26-85; protocols.py):
+    # 25-bit row, every even bit set, pair-coded inverted nibbles
+    symbol="waveman",
+    min_bits=25, max_bits=25, row_mode="row0", exact_lens=(25,),
+    frame_bits=25, in_bits=64,
+    raws=(Raw(0, 24),                                        # 0 all-FF guard
+          Raw(0, 12, bit_order=tuple(j for j in range(24)   # 1 even bits
+                                     if j % 2 == 0)),
+          Raw(0, 4, bit_order=(7, 5, 3, 1)),                 # 2 ~nb0
+          Raw(0, 2, bit_order=(15, 13)),                     # 3 ~nb1 hi
+          Raw(0, 2, bit_order=(11, 9)),                      # 4 ~nb1 lo
+          Raw(0, 4, bit_order=(23, 21, 19, 17))),            # 5 ~nb2
+    sanity=(San(0, "ne", 0xFFFFFF),
+            San(1, "eq", 0xFFF),
+            # nb2 = 0xF - raw in {0xE, 0x6} -> raw in {1, 9}
+            San(5, "in", (1, 9)),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Waveman-Switch"),
+        F("id", kind="enum", terms=((2, -1, 0),), add=0xF,
+          map={i: chr(ord("A") + i) for i in range(16)}),
+        # nb1 = 0xF - (4*hi + lo): (nb1 >> 2) + 1 = (3 - hi) + 1,
+        # (nb1 & 3) + 1 = (3 - lo) + 1
+        F("channel", kind="int", terms=((3, -1, 0),), add=4),
+        F("button", kind="int", terms=((4, -1, 0),), add=4),
+        F("state", kind="enum", terms=((5, -1, 0),), add=0xF,
+          map={0xE: "ON", 0x6: "OFF"}),
+    )),),
+))
+
+
+def _min_rows_guard(n):
+    def guard(bits):
+        if bits.num_rows < n:
+            return DECODE_ABORT_EARLY
+        return None
+    return guard
+
+
+_spec(DeclSpec(
+    # GT-WT-02 (ref src/devices/gt_wt_02.c:44-141; temperature.py):
+    # 37-bit rows (39 = 2 lead bits), nibble-sum-mod-64 checksum,
+    # first decodable row wins
+    symbol="gt_wt_02",
+    min_bits=37, max_bits=39, exact_lens=(37, 39),
+    len_aligns=((39, 2),), row_mode="any",
+    host_guard=_min_rows_guard(2),
+    frame_bits=40, in_bits=296,
+    checks=(Check("add_nibbles", off=0, nbytes=4, mask=0x3F,
+                  cmp_off=31, cmp_width=6,
+                  bit_map=tuple(range(31)) + (-1,)),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 1),          # 1 battery_low
+          Raw(9, 1),          # 2 button
+          Raw(10, 2),         # 3 channel
+          Raw(12, 12),        # 4 temp signed
+          Raw(24, 7),         # 5 hum_raw
+          Raw(0, 32),         # 6 nonzero guard (b0..b3)
+          Raw(32, 8)),        # 7 nonzero guard (b4)
+    sanity=((San(6, "ne", 0), San(7, "ne", 0)),   # OR-group: any(b[:5])
+            San(3, "le", 2),
+            San(4, "ge", -20.0, signed_bits=12, fmul=0.1),
+            San(4, "le", 60.0, signed_bits=12, fmul=0.1),
+            San(5, "in", (10, 110) + tuple(range(20, 91))),),
+    variants=(Variant(fields=(
+        F("model", "const", value="GT-WT02"),
+        F("id", terms=((0, 1, 0),), pretty="ID Code"),
+        F("channel", terms=((3, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((1, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((4, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", kind="mapf", terms=((5, 1, 0),),
+          map={10: 0, 110: 100}, pretty="Humidity", fmt="%.0f %%"),
+        F("button", terms=((2, 1, 0),), pretty="Button "),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+# CRC-4(0x3) xor-folded check shared by s3318p / kedsum / esperanza_ews
+# (ref src/devices/s3318p.c:85-88): crc4(b[:4]) ^ (b4 >> 4) == b4 & 0xF
+_S3318_CRC = Check(
+    "crc4", off=0, nbytes=4, p1=0x3, p2=0x0, cmp_off=36, cmp_width=4,
+    xor_bits=tuple((32 + j, 1 << (3 - j)) for j in range(4)))
+
+
+def _s3318p_guard(bits):
+    if bits.bits_per_row[0] == 0 and bits.num_rows > 1 \
+            and bits.bits_per_row[1] == 0:
+        return DECODE_ABORT_EARLY
+    return None
+
+
+_spec(DeclSpec(
+    # Conrad S3318P (ref src/devices/s3318p.c:60-116; temperature.py):
+    # 42-bit rows x4, 2 lead bits, CRC-4, tenth-degrees F offset 90
+    symbol="s3318p",
+    min_bits=42, max_bits=42, exact_lens=(42,), row_mode="repeat",
+    min_repeats=4, repeat_min_bits=42, host_guard=_s3318p_guard,
+    align_off=2, frame_bits=40, in_bits=296,
+    checks=(_S3318_CRC,),
+    raws=(Raw(0, 8),                                    # 0 id
+          Raw(10, 2),                                   # 1 channel-1
+          Raw(0, 12,                                    # 2 temp raw
+              bit_order=tuple(range(20, 24)) + tuple(range(16, 20))
+              + tuple(range(12, 16))),
+          Raw(0, 8,                                     # 3 humidity
+              bit_order=tuple(range(28, 32)) + tuple(range(24, 28))),
+          Raw(33, 1),                                   # 4 battery flag
+          Raw(32, 1),                                   # 5 button
+          Raw(0, 32)),                                  # 6 nonzero guard
+    sanity=(San(6, "ne", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Conrad-S3318P"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((4, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_F", kind="float", terms=((2, 1, 0),), add=-900,
+          mul=0.1, pretty="Temperature", fmt="%.2f F"),
+        F("humidity", terms=((3, 1, 0),), pretty="Humidity", fmt="%u %%",
+          cond=San(3, "ne", 0)),
+        F("button", terms=((5, 1, 0),), pretty="Button"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _kedsum_guard(bits):
+    if bits.num_rows < 5 or any(bits.bits_per_row[i] != 0
+                                for i in range(5)):
+        return DECODE_ABORT_EARLY
+    return None
+
+
+_spec(DeclSpec(
+    # Kedsum-TH (ref src/devices/kedsum.c:36-95; temperature.py): 5 empty
+    # sync rows, 42-bit rows x4, CRC-4, battery level enum
+    symbol="kedsum",
+    min_bits=42, max_bits=42, exact_lens=(42,), row_mode="repeat",
+    min_repeats=4, repeat_min_bits=42, host_guard=_kedsum_guard,
+    align_off=2, frame_bits=40, in_bits=296,
+    checks=(_S3318_CRC,),
+    raws=(Raw(0, 8),                                    # 0 id
+          Raw(10, 2),                                   # 1 channel-1
+          Raw(8, 2),                                    # 2 battery code
+          Raw(0, 12,                                    # 3 temp raw
+              bit_order=tuple(range(20, 24)) + tuple(range(16, 20))
+              + tuple(range(12, 16))),
+          Raw(0, 8,                                     # 4 humidity
+              bit_order=tuple(range(28, 32)) + tuple(range(24, 28))),
+          Raw(0, 8,                                     # 5 flags:
+              bit_order=(8, 9, -1, -1, 32, 33, 34, 35))),  # (b1&C0)|(b4>>4)
+    variants=(Variant(fields=(
+        F("model", "const", value="Kedsum-TH"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", kind="enumf", terms=((2, 1, 0),), mul=0.01,
+          map={0: 0, 1: 10, 2: 100, 3: 30}, pretty="Battery level"),
+        F("flags", terms=((5, 1, 0),), pretty="Flags2"),
+        F("temperature_F", kind="float", terms=((3, 1, 0),), add=-900,
+          mul=0.1, pretty="Temperature", fmt="%.2f F"),
+        F("humidity", terms=((4, 1, 0),), pretty="Humidity", fmt="%u %%"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _esperanza_guard(bits):
+    # exactly 14 rows alternating empty / identical 42-bit payloads
+    # (ref src/devices/esperanza_ews.c:62-110)
+    from .base import DECODE_ABORT_LENGTH, DECODE_FAIL_SANITY
+    if bits.bits_per_row[0] != 0 or bits.num_rows < 2 \
+            or bits.bits_per_row[1] != 0:
+        return DECODE_FAIL_SANITY
+    if bits.num_rows != 14:
+        return DECODE_ABORT_LENGTH
+    for row in range(2, bits.num_rows - 3, 2):
+        if bits.bits_per_row[row] != 42 \
+                or not (bits.bb[row] == bits.bb[row + 2]).all():
+            return DECODE_FAIL_SANITY
+    return [2]
+
+
+_spec(DeclSpec(
+    # Esperanza EWS (ref src/devices/esperanza_ews.c:62-110;
+    # temperature.py): row pattern validated host-side, CRC-4 on row 2
+    symbol="esperanza_ews",
+    min_bits=42, max_bits=42, exact_lens=(42,), row_mode="any",
+    host_guard=_esperanza_guard, align_off=2, frame_bits=40, in_bits=296,
+    checks=(_S3318_CRC,),
+    raws=(Raw(0, 8),                                    # 0 id
+          Raw(10, 2),                                   # 1 channel-1
+          Raw(0, 12,                                    # 2 temp raw
+              bit_order=tuple(range(20, 24)) + tuple(range(16, 20))
+              + tuple(range(12, 16))),
+          Raw(0, 8,                                     # 3 humidity
+              bit_order=tuple(range(28, 32)) + tuple(range(24, 28))),
+          Raw(33, 1)),                                  # 4 battery flag
+    variants=(Variant(fields=(
+        F("model", "const", value="Esperanza-EWS"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((4, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_F", kind="float", terms=((2, 1, 0),), add=-900,
+          mul=0.1, pretty="Temperature", fmt="%.2f F"),
+        F("humidity", terms=((3, 1, 0),), pretty="Humidity", fmt="%u %%"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Solight TE44 (ref src/devices/solight_te44.c:41-91; temperature.py):
+    # Rubicson layout, battery unused
+    symbol="solight_te44",
+    min_bits=36, max_bits=37, exact_lens=(37,), row_mode="repeat",
+    min_repeats=3, repeat_min_bits=36, frame_bits=40, in_bits=296,
+    checks=(_RUBICSON_CRC,),
+    raws=(Raw(0, 8), Raw(10, 2), Raw(12, 12), Raw(24, 4)),
+    sanity=(San(3, "eq", 0xF),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Solight-TE44"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("temperature_C", kind="float", terms=((2, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.2f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Auriol AFW2A1 (ref src/devices/auriol_afw2a1.c:55-115;
+    # temperature.py): fixed 0xA nibble, range sanity only
+    symbol="auriol_afw2a1",
+    min_bits=36, row_mode="repeat", min_repeats=12, repeat_min_bits=36,
+    frame_bits=40, in_bits=296,
+    raws=(Raw(0, 8),          # 0 id
+          Raw(10, 2),         # 1 channel-1
+          Raw(8, 1),          # 2 battery_ok
+          Raw(9, 1),          # 3 button
+          Raw(12, 12),        # 4 temp signed
+          Raw(24, 4),         # 5 const 0xA nibble
+          Raw(28, 8)),        # 6 humidity
+    sanity=(San(5, "eq", 0xA),
+            San(6, "le", 0x64),
+            San(4, "ge", -51.1, signed_bits=12, fmul=0.1),
+            San(4, "le", 76.7, signed_bits=12, fmul=0.1),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Auriol-AFW2A1"),
+        F("id", terms=((0, 1, 0),)),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((2, 1, 0),), pretty="Battery"),
+        F("button", terms=((3, 1, 0),), pretty="Button"),
+        F("temperature_C", kind="float", terms=((4, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", kind="float", terms=((6, 1, 0),),
+          pretty="Humidity", fmt="%.0f %%"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Auriol AHFL (ref src/devices/auriol_ahfl.c:30-100; temperature.py):
+    # 42-bit rows x2, fixed 0x4 nibble, 6-bit nibble-sum checksum
+    symbol="auriol_ahfl",
+    min_bits=42, max_bits=42, exact_lens=(42,), row_mode="repeat",
+    min_repeats=2, repeat_min_bits=42, frame_bits=48, in_bits=296,
+    checks=(Check("add_nibbles", off=0, nbytes=5, mask=0x3F,
+                  cmp_off=36, cmp_width=6,
+                  bit_map=tuple(range(32)) + tuple(range(32, 36))
+                  + (-1,) * 4),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(10, 2),         # 1 channel-1
+          Raw(8, 1),          # 2 battery_ok
+          Raw(9, 1),          # 3 button
+          Raw(12, 12),        # 4 temp signed
+          Raw(32, 4),         # 5 const 0x4 nibble
+          Raw(31, 1),         # 6 zero bit (b3 & 1)
+          Raw(24, 7)),        # 7 humidity
+    sanity=(San(5, "eq", 0x4),
+            San(6, "eq", 0x0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Auriol-AHFL"),
+        F("id", terms=((0, 1, 0),)),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((2, 1, 0),), pretty="Battery"),
+        F("button", terms=((3, 1, 0),), pretty="Button"),
+        F("temperature_C", kind="float", terms=((4, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", terms=((7, 1, 0),), pretty="Humidity", fmt="%d %%"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # inFactory-TH (ref src/devices/infactory.c:55-116; temperature.py):
+    # CRC-4 poly 0x13 with channel/CRC nibble swap, BCD humidity
+    symbol="infactory",
+    min_bits=40, max_bits=42, exact_lens=(40, 41, 42), row_mode="row0",
+    frame_bits=40, in_bits=64,
+    checks=(
+        # crc4(0x13) over [b0, (b1&0F)|((b4&0F)<<4), b2, b3]
+        # ^ (b4>>4) == (b1>>4)
+        Check("crc4", off=0, nbytes=4, p1=0x13, p2=0x0,
+              cmp_off=8, cmp_width=4,
+              bit_map=tuple(range(0, 8)) + tuple(range(36, 40))
+              + tuple(range(12, 16)) + tuple(range(16, 24))
+              + tuple(range(24, 32)),
+              xor_bits=tuple((32 + j, 1 << (3 - j)) for j in range(4))),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(38, 2),         # 1 channel
+          Raw(13, 1),         # 2 battery flag
+          Raw(12, 1),         # 3 button
+          Raw(16, 12),        # 4 temp raw
+          Raw(28, 4),         # 5 humidity tens (BCD)
+          Raw(32, 4)),        # 6 humidity ones (BCD)
+    sanity=(San(1, "ne", 0),
+            San(0, "le", 100, terms=((5, 10, 0), (6, 1, 0))),),
+    variants=(Variant(fields=(
+        F("model", "const", value="inFactory-TH"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("channel", terms=((1, 1, 0),), pretty="Channel"),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("button", terms=((3, 1, 0),), pretty="Button"),
+        F("temperature_F", kind="float", terms=((4, 1, 0),), add=-900,
+          mul=0.1, pretty="Temperature", fmt="%.2f F"),
+        F("humidity", terms=((5, 10, 0), (6, 1, 0)), pretty="Humidity",
+          fmt="%u %%"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Springfield-Soil (ref src/devices/springfield.c:33-107;
+    # temperature.py): XOR nibble-folded checksum, moisture level
+    symbol="springfield",
+    min_bits=36, max_bits=37, exact_lens=(36, 37), row_mode="repeat",
+    min_repeats=3, repeat_min_bits=36, frame_bits=40, in_bits=296,
+    # xor_bytes(b[:4]) hi nibble ^ lo nibble == 0: pure xor_bits check
+    # (each frame bit k of bytes 0..3 contributes 1 << (3 - (k%8)%4))
+    checks=(Check("xor_bytes", off=0, nbytes=0, cmp_const=0, mask=0xF,
+                  xor_bits=tuple((k, 1 << (3 - (k % 8) % 4))
+                                 for k in range(32))),),
+    raws=(Raw(0, 32),         # 0 word guard
+          Raw(0, 8),          # 1 id
+          Raw(8, 1),          # 2 battery
+          Raw(9, 1),          # 3 button
+          Raw(10, 2),         # 4 channel-1
+          Raw(12, 12),        # 5 temp signed
+          Raw(24, 4)),        # 6 moisture level
+    sanity=(San(0, "ne", 0),
+            San(0, "ne", 0xFFFFFFFF),
+            San(5, "ge", -30, signed_bits=12, fmul=0.1),
+            San(5, "le", 70, signed_bits=12, fmul=0.1),
+            San(6, "le", 10),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Springfield-Soil"),
+        F("id", terms=((1, 1, 0),), pretty="SID"),
+        F("channel", terms=((4, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("transmit", kind="enum", terms=((3, 1, 0),),
+          map={1: "MANUAL", 0: "AUTO"}, pretty="Transmit"),
+        F("temperature_C", kind="float", terms=((5, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("moisture", terms=((6, 10, 0),), pretty="Moisture", fmt="%d %%"),
+        F("button", terms=((3, 1, 0),), pretty="Button"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # TFA-Pool (ref src/devices/tfa_pool_thermometer.c:30-80;
+    # temperature.py): nibble-sum-minus-1 checksum in the first nibble
+    symbol="tfa_pool_thermometer",
+    min_bits=28, max_bits=28, exact_lens=(28,), row_mode="repeat",
+    min_repeats=7, repeat_min_bits=28, frame_bits=28, in_bits=296,
+    checks=(Check("add_nibbles", off=0, nbytes=3, add_const=-1, mask=0xF,
+                  cmp_off=0, cmp_width=4,
+                  bit_map=tuple(range(4, 28))),),
+    raws=(Raw(4, 8),          # 0 device id
+          Raw(12, 12),        # 1 temp raw
+          Raw(24, 2),         # 2 channel
+          Raw(26, 1)),        # 3 battery
+    variants=(Variant(fields=(
+        F("model", "const", value="TFA-Pool"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("channel", terms=((2, 1, 0),), pretty="Channel"),
+        F("battery_ok", terms=((3, 1, 0),), pretty="Battery"),
+        # (raw - 4096 if raw > 2048 else raw) * 0.1 — note: NOT plain
+        # two's complement (2048 itself stays positive)
+        F("temperature_C", kind="float",
+          terms=((1, 1, 0, (2048, 4096)),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Thermopro-TP11 (ref src/devices/thermopro_tp11.c:22-60;
+    # temperature.py): reflected LFSR-8 digest gen 0x51 key 0x04
+    symbol="thermopro_tp11",
+    min_bits=32, max_bits=33, row_mode="repeat", min_repeats=2,
+    repeat_min_bits=32, frame_bits=32, in_bits=296,
+    checks=(Check("lfsr_digest8_reflect", off=0, nbytes=3, p1=0x51,
+                  p2=0x04, cmp_off=24, cmp_width=8),),
+    raws=(Raw(0, 12),         # 0 device id
+          Raw(12, 12),        # 1 temp raw
+          Raw(0, 32)),        # 2 all-0/all-FF guard
+    sanity=(San(2, "ne", 0),
+            San(2, "ne", 0xFFFFFFFF),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Thermopro-TP11"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("temperature_C", kind="float", terms=((1, 1, 0),), add=-200,
+          mul=0.1, pretty="Temperature", fmt="%.1f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _tp12_rows(bits):
+    # repeated-prefix row selection with a data-dependent repeat count
+    # (ref src/devices/thermopro_tp12.c:46-106)
+    row = bits.find_repeated_prefix(5 if bits.num_rows > 5 else 2, 40)
+    if row < 0:
+        return DECODE_ABORT_EARLY
+    return [row]
+
+
+_spec(DeclSpec(
+    # Thermopro-TP12 (ref src/devices/thermopro_tp12.c:46-106;
+    # temperature.py): two probe temperatures, reflected LFSR-8
+    symbol="thermopro_tp12",
+    min_bits=41, max_bits=41, exact_lens=(41,), row_mode="any",
+    host_guard=_tp12_rows, frame_bits=40, in_bits=296,
+    checks=(Check("lfsr_digest8_reflect", off=0, nbytes=4, p1=0x51,
+                  p2=0x04, cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(0, 12,          # 1 temp1: ((b2 & F0) << 4) | b1
+              bit_order=tuple(range(16, 20)) + tuple(range(8, 16))),
+          Raw(0, 12,          # 2 temp2: ((b2 & 0F) << 8) | b3
+              bit_order=tuple(range(20, 24)) + tuple(range(24, 32))),
+          Raw(0, 32)),        # 3 nonzero guard
+    sanity=(San(3, "ne", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Thermopro-TP12"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("temperature_1_C", kind="float", terms=((1, 1, 0),), add=-200,
+          mul=0.1, pretty="Temperature 1 (Food)", fmt="%.1f C"),
+        F("temperature_2_C", kind="float", terms=((2, 1, 0),), add=-200,
+          mul=0.1, pretty="Temperature 2 (Barbecue)", fmt="%.1f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Hyundai-WS (ref src/devices/wssensor.c:30-92; temperature.py):
+    # 24-bit rows x4, no MIC, signed temperature
+    symbol="wssensor",
+    min_bits=24, max_bits=24, exact_lens=(24,), row_mode="repeat",
+    min_repeats=4, repeat_min_bits=23, frame_bits=24, in_bits=296,
+    raws=(Raw(0, 12),         # 0 temp signed
+          Raw(16, 8),         # 1 id (byte 2)
+          Raw(14, 2),         # 2 channel-1
+          Raw(12, 1),         # 3 battery
+          Raw(13, 1),         # 4 button
+          Raw(0, 24)),        # 5 guard
+    sanity=(San(5, "ne", 0),
+            San(5, "ne", 0xFFFFFF),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Hyundai-WS"),
+        F("id", terms=((1, 1, 0),), pretty="House Code"),
+        F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((3, 1, 0),), pretty="Battery"),
+        F("temperature_C", kind="float", terms=((0, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.2f C"),
+        F("button", terms=((4, 1, 0),), pretty="Button"),
+    )),),
+))
+
+
+def _generic_temp_guard(bits):
+    from .base import DECODE_ABORT_LENGTH
+    for i in range(1, 10):
+        if i >= bits.num_rows or bits.bits_per_row[i] != 24:
+            return DECODE_ABORT_LENGTH
+    return [1]
+
+
+_spec(DeclSpec(
+    # Generic-Temperature (ref src/devices/generic_temperature_sensor.c:
+    # 22-62; temperature.py): rows 1-9 all 24 bits, no MIC
+    symbol="generic_temperature_sensor",
+    min_bits=24, max_bits=24, row_mode="any",
+    host_guard=_generic_temp_guard, frame_bits=24, in_bits=64,
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 2),          # 1 battery bits
+          Raw(10, 14),        # 2 temp raw (signed 14, then >> 2)
+          Raw(0, 24)),        # 3 guard
+    sanity=(San(3, "ne", 0),
+            San(3, "ne", 0xFFFFFF),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Generic-Temperature"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("battery_ok", terms=((1, 1, 0),), pretty="Battery?"),
+        F("temperature_C", kind="float", terms=((2, 1, 14),), shr=2,
+          mul=0.1, pretty="Temperature", fmt="%.2f C"),
+    )),),
+))

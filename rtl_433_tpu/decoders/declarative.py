@@ -53,6 +53,9 @@ class Check:
     # explicit window-bit -> frame-bit map for scrambled windows
     # (entries of -1 feed constant 0)
     bit_map: Optional[Tuple[int, ...]] = None
+    # extra (frame_bit, weight) GF(2) contributions XORed into the compare
+    # (e.g. an expected value that is itself a xor of two fields)
+    xor_bits: Tuple[Tuple[int, int], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -66,11 +69,20 @@ class Raw:
 
 @dataclass(frozen=True)
 class San:
-    """Sanity predicate over a raw: fails with DECODE_FAIL_SANITY."""
+    """Sanity predicate over a raw: fails with DECODE_FAIL_SANITY.
+    ``signed_bits`` sign-extends the raw before comparing. A spec's
+    ``sanity`` tuple may also hold TUPLES of San — an OR-group (any
+    member passing passes the group); top-level entries AND together."""
     raw: int
-    op: str                     # eq ne le ge lt gt
-    val: int
+    op: str                     # eq ne le ge lt gt in nin
+    val: object = 0             # int/float, or a tuple for in/nin
     mask: Optional[int] = None
+    signed_bits: int = 0
+    # F-style terms replace `raw` when set (combined-value sanity)
+    terms: Tuple = ()
+    shr: int = 0
+    # replicate float range checks exactly: compare float(v * fmul)
+    fmul: Optional[float] = None
 
 
 @dataclass(frozen=True)
@@ -90,6 +102,7 @@ class F:
     terms: Tuple = ()
     add: float = 0
     mul: float = 1.0
+    shr: int = 0                # arithmetic shift applied after terms
     mask: int = 0xFFFFFFFF
     val: int = 0
     map: Optional[Dict] = None
@@ -112,11 +125,18 @@ class DeclSpec:
     symbol: str
     min_bits: int
     max_bits: int = 1 << 20
-    row_mode: str = "any"       # any | row0 | repeat | all
+    row_mode: str = "any"       # any | row0 | fixed | repeat | all
+    fixed_row: int = 0
     min_repeats: int = 1
     repeat_min_bits: int = 0
+    # optional host-side precondition over the whole bitbuffer (used for
+    # quirks the row machinery can't express, e.g. prologue's short-row-0
+    # guard); returns a DECODE_* code to abort or None to continue
+    host_guard: Optional[object] = None
     in_bits: int = 0            # bank input width (0 = auto)
     frame_bits: int = 64
+    exact_lens: Tuple[int, ...] = ()      # whitelist of exact row lengths
+    len_aligns: Tuple[Tuple[int, int], ...] = ()  # (row_len, extra_off)
     preamble: Optional[str] = None   # bit string, 'x' = don't care
     pre_start: int = 0
     align_off: int = 0
@@ -136,6 +156,8 @@ _OPS = {
     "ge": lambda a, b: a >= b,
     "lt": lambda a, b: a < b,
     "gt": lambda a, b: a > b,
+    "in": lambda a, b: a in b,
+    "nin": lambda a, b: a not in b,
 }
 
 
@@ -149,18 +171,15 @@ def _lower(spec: DeclSpec) -> dbk.LoweredSpec:
                 c.algo, c.off, c.nbytes, mask=c.mask, cmp_off=c.cmp_off,
                 cmp_width=c.cmp_width, cmp_const=c.cmp_const,
                 reflect=c.reflect, negated=c.negated, frame_bits=fb,
-                add_const=c.add_const)
-            if c.bit_map is not None:
-                w = _remap(w, c, fb).astype(np.int32)
+                add_const=c.add_const, bit_map=c.bit_map)
             add.append((_pad(w, fb), mod, tc, neq))
         else:
             tab, tc, neq = dbk.make_gf2_check(
                 c.algo, c.off, c.nbytes, c.p1, c.p2, xor_out=c.xor_out,
                 mask=c.mask, cmp_off=c.cmp_off, cmp_width=c.cmp_width,
                 cmp_const=c.cmp_const, reflect=c.reflect,
-                negated=c.negated, frame_bits=fb)
-            if c.bit_map is not None:
-                tab = _remap(tab, c, fb)
+                negated=c.negated, frame_bits=fb, xor_bits=c.xor_bits,
+                bit_map=c.bit_map)
             gf2.append((_pad(tab, fb), tc, neq))
     raws = np.zeros((len(spec.raws), fb), np.uint32)
     for i, r in enumerate(spec.raws):
@@ -182,29 +201,8 @@ def _lower(spec: DeclSpec) -> dbk.LoweredSpec:
         frame_bits=fb, pat_bits=pat_bits, pat_mask=pat_mask,
         pre_start=spec.pre_start, align_off=spec.align_off,
         need_bits=spec.need_bits, transform=tf, mc_min=spec.mc_min,
-        gf2_tabs=gf2, add_tabs=add, raw_tabs=raws)
-
-
-def _remap(tab: np.ndarray, c: Check, fb: int) -> np.ndarray:
-    """Apply an explicit window-bit -> frame-bit map: the digest window
-    bits were lowered at contiguous offsets off..; redistribute them."""
-    assert len(c.bit_map) == c.nbytes * 8, "bit_map must cover the window"
-    out = np.zeros(fb, tab.dtype)
-    win = tab[c.off:c.off + c.nbytes * 8]
-    for k, dst in enumerate(c.bit_map):
-        if dst >= 0:
-            if tab.dtype == np.uint32:
-                out[dst] ^= win[k]
-            else:
-                out[dst] += win[k]
-    # keep expected-value folds that live outside the window
-    keep = tab.copy()
-    keep[c.off:c.off + c.nbytes * 8] = 0
-    if tab.dtype == np.uint32:
-        out[:keep.shape[0]] ^= keep
-    else:
-        out[:keep.shape[0]] += keep
-    return out
+        gf2_tabs=gf2, add_tabs=add, raw_tabs=raws,
+        exact_lens=spec.exact_lens, len_aligns=spec.len_aligns)
 
 
 def _pad(a: np.ndarray, fb: int) -> np.ndarray:
@@ -221,6 +219,23 @@ def _sex(v: int, bits: int) -> int:
     return v
 
 
+def _terms(terms, vals) -> int:
+    """Sum of (raw_idx, coef, signed_bits[, (gt, sub)]) terms; the optional
+    4th element subtracts ``sub`` when the raw exceeds ``gt`` (the
+    raw > 2048 two's-complement idiom some decoders use)."""
+    acc = 0
+    for t in terms:
+        ri, coef = t[0], t[1]
+        sbits = t[2] if len(t) > 2 else 0
+        v = _sex(vals[ri], sbits)
+        if len(t) > 3:
+            gt, sub = t[3]
+            if v > gt:
+                v -= sub
+        acc += v * coef
+    return acc
+
+
 class DeclRunner:
     """Batched declarative decode over a set of symbols."""
 
@@ -233,6 +248,12 @@ class DeclRunner:
 
     def _rows_for(self, spec: DeclSpec, bits) -> object:
         """Row indices the spec inspects, or a direct int ret code."""
+        if spec.host_guard is not None:
+            # returns None (continue), an int code (abort), or an explicit
+            # row list (custom row selection, e.g. repeated-prefix modes)
+            g = spec.host_guard(bits)
+            if isinstance(g, (int, list)):
+                return g
         if spec.row_mode == "repeat":
             r = bits.find_repeated_row(spec.min_repeats,
                                        spec.repeat_min_bits)
@@ -241,6 +262,8 @@ class DeclRunner:
             return [r]
         if spec.row_mode == "row0":
             return [0]
+        if spec.row_mode == "fixed":
+            return [spec.fixed_row]
         return list(range(bits.num_rows))
 
     def _row_bits(self, bits, row: int) -> Optional[np.ndarray]:
@@ -306,7 +329,11 @@ class DeclRunner:
             prev = rets[ix]
             if ev is not None:
                 if isinstance(prev, list):
-                    prev.extend(ev)
+                    # only "all" mode accumulates events across rows;
+                    # "any" keeps the FIRST decodable row (the reference
+                    # returns from its row loop on first success)
+                    if spec.row_mode == "all":
+                        prev.extend(ev)
                 else:
                     rets[ix] = ev
             elif not isinstance(prev, list):
@@ -316,29 +343,37 @@ class DeclRunner:
 
     # -- event formatting ----------------------------------------------------
 
+    @staticmethod
+    def _san_ok(s: San, vals) -> bool:
+        if s.terms:
+            v = _terms(s.terms, vals) >> s.shr
+        else:
+            v = vals[s.raw] & s.mask if s.mask is not None else vals[s.raw]
+            if s.signed_bits:
+                v = _sex(v, s.signed_bits)
+        if s.fmul is not None:
+            v = float(v * s.fmul)
+        return _OPS[s.op](v, s.val)
+
     def _format(self, spec: DeclSpec, raw: np.ndarray):
         vals = [int(v) for v in raw]
         for s in spec.sanity:
-            v = vals[s.raw] & s.mask if s.mask is not None else vals[s.raw]
-            if not _OPS[s.op](v, s.val):
+            if isinstance(s, tuple):   # OR-group
+                if not any(self._san_ok(g, vals) for g in s):
+                    return DECODE_FAIL_SANITY, None
+            elif not self._san_ok(s, vals):
                 return DECODE_FAIL_SANITY, None
         var = None
         for v in spec.variants:
-            if v.cond is None or _OPS[v.cond.op](
-                    (vals[v.cond.raw] & v.cond.mask)
-                    if v.cond.mask is not None else vals[v.cond.raw],
-                    v.cond.val):
+            if v.cond is None or self._san_ok(v.cond, vals):
                 var = v
                 break
         if var is None:
             return DECODE_FAIL_SANITY, None
         fields = []
         for f in var.fields:
-            if f.cond is not None:
-                cv = (vals[f.cond.raw] & f.cond.mask) \
-                    if f.cond.mask is not None else vals[f.cond.raw]
-                if not _OPS[f.cond.op](cv, f.cond.val):
-                    continue
+            if f.cond is not None and not self._san_ok(f.cond, vals):
+                continue
             val = self._fval(f, vals)
             item = [f.key, val]
             if f.pretty is not None or f.fmt is not None:
@@ -349,22 +384,24 @@ class DeclRunner:
         return 0, [Event.make(*fields)]
 
     def _fval(self, f: F, vals: List[int]):
+        """acc = (sum(terms) >> shr) + add, then per-kind rendering."""
         if f.kind == "const":
             return f.value
-        acc = 0
-        for t in f.terms:
-            ri, coef, sbits = (t + (0,))[:3] if len(t) < 3 else t
-            acc += _sex(vals[ri], sbits) * coef
+        acc = (_terms(f.terms, vals) >> f.shr) + f.add
         if f.kind == "int":
-            return int(acc + f.add)
+            return int(acc)
         if f.kind == "float":
-            return float((acc + f.add) * f.mul)
+            return float(acc * f.mul)
         if f.kind == "bool":
-            return int(bool(int(acc + f.add)))
+            return int(bool(int(acc)))
         if f.kind == "eq":
             return int((int(acc) & f.mask) == f.val)
         if f.kind == "enum":
             return f.map.get(int(acc), f.default)
+        if f.kind == "mapf":   # map exceptions, else the value; as float
+            return float(f.map.get(int(acc), acc))
+        if f.kind == "enumf":  # mapped int, then the float mul chain
+            return float(f.map.get(int(acc), f.default) * f.mul)
         raise ValueError(f.kind)
 
 
@@ -378,6 +415,11 @@ DECL: Dict[str, DeclSpec] = {}
 _RUNNER: Optional[DeclRunner] = None
 
 
+def _spec(s: DeclSpec):
+    DECL[s.symbol] = s
+    return s
+
+
 def get_runner() -> DeclRunner:
     """Process-wide runner over the full DECL table (static; the lowered
     weight tables compile once)."""
@@ -387,85 +429,5 @@ def get_runner() -> DeclRunner:
     return _RUNNER
 
 
-def _spec(s: DeclSpec):
-    DECL[s.symbol] = s
-    return s
-
-
-_spec(DeclSpec(
-    # Nexus-TH/T (ref src/devices/nexus.c:44-140; decoders/protocols.py
-    # _nexus_like): 36-bit row repeated 3x, type nibble F, 12-bit signed
-    # temperature, humidity 0 = Nexus-T
-    symbol="nexus",
-    min_bits=36, max_bits=37, row_mode="repeat", min_repeats=3,
-    repeat_min_bits=36, frame_bits=40, in_bits=296,
-    # reject the Rubicson CRC coincidence (ref src/devices/nexus.c:77-88):
-    # crc8(poly 0x31, init 0x6C) over the 40-bit window
-    # [b0, b1, b2, b3&F0, (b3&0F)<<4 | (b4&F0)>>4] must be NONZERO
-    checks=(Check("crc8", off=0, nbytes=5, p1=0x31, p2=0x6C,
-                  cmp_const=0, negated=True,
-                  bit_map=tuple(range(28)) + (-1,) * 4
-                  + tuple(range(28, 36))),),
-    raws=(Raw(0, 8),          # 0 id
-          Raw(8, 1),          # 1 battery
-          Raw(10, 2),         # 2 channel-1 (and the != 3 guard)
-          Raw(12, 12),        # 3 temperature raw (signed 12)
-          Raw(28, 8),         # 4 humidity
-          Raw(9, 1),          # 5 test
-          Raw(24, 4),         # 6 type nibble (must be F)
-          # 7: b0|b2|b3 combined — the all-0 / all-FF guards
-          Raw(0, 24, bit_order=tuple(range(0, 8)) + tuple(range(16, 32)))),
-    sanity=(San(6, "eq", 0xF),
-            San(2, "ne", 0x3),
-            San(7, "ne", 0x000000),
-            San(7, "ne", 0xFFFFFF),
-            San(4, "le", 100),),
-    variants=(
-        Variant(cond=San(4, "eq", 0), fields=(
-            F("model", "const", value="Nexus-T"),
-            F("id", terms=((0, 1, 0),), pretty="House Code"),
-            F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
-            F("battery_ok", kind="bool", terms=((1, 1, 0),),
-              pretty="Battery"),
-            F("temperature_C", kind="float", terms=((3, 1, 12),),
-              mul=0.1, pretty="Temperature", fmt="%.2f C"),
-            F("test", kind="bool", terms=((5, 1, 0),), pretty="Test?",
-              cond=San(5, "ne", 0)),
-        )),
-        Variant(fields=(
-            F("model", "const", value="Nexus-TH"),
-            F("id", terms=((0, 1, 0),), pretty="House Code"),
-            F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
-            F("battery_ok", kind="bool", terms=((1, 1, 0),),
-              pretty="Battery"),
-            F("temperature_C", kind="float", terms=((3, 1, 12),),
-              mul=0.1, pretty="Temperature", fmt="%.2f C"),
-            F("humidity", terms=((4, 1, 0),), pretty="Humidity",
-              fmt="%u %%"),
-            F("test", kind="bool", terms=((5, 1, 0),), pretty="Test?",
-              cond=San(5, "ne", 0)),
-        )),
-    ),
-))
-
-
-_spec(DeclSpec(
-    # Jasco-Security (ref src/devices/jasco.c; decoders/misc_a.py jasco):
-    # fc0c preamble, Manchester, 4-byte XOR checksum
-    symbol="jasco",
-    min_bits=80, max_bits=87, row_mode="row0",
-    preamble="1111110000001100", need_bits=64,
-    # frame_bits covers the RAW window; Manchester halves it, so checks
-    # and raws below address DECODED bit positions (0..31)
-    transform="manchester", mc_min=32, frame_bits=64, in_bits=160,
-    checks=(Check("xor_bytes", off=0, nbytes=4, cmp_const=0),),
-    raws=(Raw(0, 16),         # 0 id
-          Raw(16, 8)),        # 1 b2 (status source)
-    variants=(Variant(fields=(
-        F("model", "const", value="Jasco-Security"),
-        F("id", terms=((0, 1, 0),), pretty="Id"),
-        F("status", kind="eq", terms=((1, 1, 0),), mask=0xEF, val=0xEF,
-          pretty="Closed"),
-        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
-    )),),
-))
+# populate DECL (bottom import: decl_specs needs the IR names above)
+from . import decl_specs  # noqa: E402,F401

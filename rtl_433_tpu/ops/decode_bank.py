@@ -61,6 +61,8 @@ TF_INVERT = 1
 TF_MANCHESTER = 2   # IEEE 802.3 second-of-pair (bitbuffer.manchester_decode)
 
 _GF2_ALGOS = {
+    "crc4": (4, lambda m, n, p1, p2: bu.crc4(m, n, p1, p2)),
+    "crc7": (7, lambda m, n, p1, p2: bu.crc7(m, n, p1, p2)),
     "crc8": (8, lambda m, n, p1, p2: bu.crc8(m, n, p1, p2)),
     "crc8le": (8, lambda m, n, p1, p2: bu.crc8le(m, n, p1, p2)),
     "crc16": (16, lambda m, n, p1, p2: bu.crc16(m, n, p1, p2)),
@@ -134,6 +136,12 @@ class CompiledBank:
 
         self.min_bits = np.zeros(S, np.int32)
         self.max_bits = np.zeros(S, np.int32)
+        # exact-length whitelist (0 slots unused); when any slot is set,
+        # the min/max gate additionally requires n in the listed lengths
+        self.exact_lens = np.zeros((S, 4), np.int32)
+        # per-length frame alignment: (row_len, extra_offset) pairs
+        self.la_len = np.zeros((S, 2), np.int32)
+        self.la_off = np.zeros((S, 2), np.int32)
         self.plen = np.zeros(S, np.int32)
         self.pat = np.zeros((S, PL), np.uint8)
         self.pmask = np.zeros((S, PL), np.uint8)   # 0 = don't care
@@ -154,6 +162,11 @@ class CompiledBank:
         for i, sp in enumerate(specs):
             self.min_bits[i] = sp.min_bits
             self.max_bits[i] = sp.max_bits
+            for k, ln in enumerate(sp.exact_lens[:4]):
+                self.exact_lens[i, k] = ln
+            for k, (ln, off) in enumerate(sp.len_aligns[:2]):
+                self.la_len[i, k] = ln
+                self.la_off[i, k] = off
             self.plen[i] = sp.pat_len
             if sp.pat_len:
                 self.pat[i, :sp.pat_len] = sp.pat_bits
@@ -188,9 +201,12 @@ class LoweredSpec:
     def __init__(self, *, min_bits: int, max_bits: int, in_bits: int,
                  frame_bits: int, pat_bits=(), pat_mask=(), pre_start=0,
                  align_off=0, need_bits=0, transform=TF_NONE, mc_min=0,
-                 gf2_tabs=(), add_tabs=(), raw_tabs=None):
+                 gf2_tabs=(), add_tabs=(), raw_tabs=None, exact_lens=(),
+                 len_aligns=()):
         self.min_bits = min_bits
         self.max_bits = max_bits
+        self.exact_lens = tuple(exact_lens)
+        self.len_aligns = tuple(len_aligns)
         self.in_bits = in_bits
         self.frame_bits = frame_bits
         self.pat_bits = np.asarray(pat_bits, np.uint8)
@@ -213,19 +229,32 @@ def make_gf2_check(algo: str, off: int, nbytes: int, p1: int = 0,
                    p2: int = 0, xor_out: int = 0, mask: Optional[int] = None,
                    cmp_off: int = -1, cmp_width: int = 0, cmp_const: int = 0,
                    reflect: bool = False, negated: bool = False,
-                   frame_bits: int = 0):
+                   frame_bits: int = 0, xor_bits: Sequence = (),
+                   bit_map: Optional[Sequence[int]] = None):
     """Lower one GF(2) digest check to (table, target, negated).
 
     Passes iff ``((digest ^ xor_out) & mask) == expected`` where the
     expected value is the ``cmp_width``-bit big-endian field at frame bit
     ``cmp_off`` (or ``cmp_const`` when cmp_off < 0). ``negated`` flips it.
+    ``xor_bits`` are extra (frame_bit, weight) GF(2) contributions XORed
+    into the comparison — any linear function of the frame folds in.
     """
     tab8, zero, wmask = _digest_table(algo, nbytes, p1, p2, reflect)
     m = wmask if mask is None else (mask & 0xFFFFFFFF)
-    fb = max(frame_bits, off + nbytes * 8,
-             (cmp_off + cmp_width) if cmp_off >= 0 else 0)
+    fb = max([frame_bits, off + nbytes * 8,
+              (cmp_off + cmp_width) if cmp_off >= 0 else 0]
+             + [b + 1 for b, _w in xor_bits]
+             + [b + 1 for b in (bit_map or ()) if b >= 0])
     tab = np.zeros(fb, np.uint32)
-    tab[off:off + nbytes * 8] = tab8 & m
+    if bit_map is not None:
+        # scrambled window: window bit k reads frame bit bit_map[k]
+        # (-1 = constant 0) — applied BEFORE the expected-value folds
+        assert len(bit_map) == nbytes * 8
+        for k, dst in enumerate(bit_map):
+            if dst >= 0:
+                tab[dst] ^= tab8[k] & m
+    else:
+        tab[off:off + nbytes * 8] = tab8 & m
     target = (zero ^ xor_out) & m
     if cmp_off >= 0:
         # expected-value bits fold into the same table (X ^ E == 0 form)
@@ -233,6 +262,8 @@ def make_gf2_check(algo: str, off: int, nbytes: int, p1: int = 0,
             tab[cmp_off + j] ^= ((1 << (cmp_width - 1 - j)) & m)
     else:
         target ^= cmp_const & m
+    for bit, w in xor_bits:
+        tab[bit] ^= w & m
     return tab, target, negated
 
 
@@ -240,17 +271,25 @@ def make_add_check(algo: str, off: int, nbytes: int,
                    mask: Optional[int] = None, cmp_off: int = -1,
                    cmp_width: int = 0, cmp_const: int = 0,
                    reflect: bool = False, negated: bool = False,
-                   frame_bits: int = 0, add_const: int = 0):
+                   frame_bits: int = 0, add_const: int = 0,
+                   bit_map: Optional[Sequence[int]] = None):
     """Lower one additive check: passes iff
     ``(sum + add_const) mod (mask+1) == expected``. mask must be 2^k-1."""
     m = 0xFF if mask is None else mask
     mod = m + 1
     assert mod & (mod - 1) == 0, "additive masks must be 2^k - 1"
     w8 = _add_weights(algo, nbytes, reflect)
-    fb = max(frame_bits, off + nbytes * 8,
-             (cmp_off + cmp_width) if cmp_off >= 0 else 0)
+    fb = max([frame_bits, off + nbytes * 8,
+              (cmp_off + cmp_width) if cmp_off >= 0 else 0]
+             + [b + 1 for b in (bit_map or ()) if b >= 0])
     w = np.zeros(fb, np.int64)
-    w[off:off + nbytes * 8] = w8
+    if bit_map is not None:
+        assert len(bit_map) == nbytes * 8
+        for k, dst in enumerate(bit_map):
+            if dst >= 0:
+                w[dst] += w8[k]
+    else:
+        w[off:off + nbytes * 8] = w8
     if cmp_off >= 0:
         # expected folds in as negative weights: sum - exp == -add_const
         for j in range(cmp_width):
@@ -273,7 +312,8 @@ def make_raw(off: int, width: int, frame_bits: int,
     if bit_order is not None:
         assert len(bit_order) == width
         for j, src in enumerate(bit_order):
-            w[src] |= np.uint32(1 << (width - 1 - j))
+            if src >= 0:     # -1 = constant-0 bit position
+                w[src] |= np.uint32(1 << (width - 1 - j))
         return w
     for j in range(width):
         src = off + j
@@ -303,6 +343,9 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
     min_b = i32(bank.min_bits)[sid]
     max_b = i32(bank.max_bits)[sid]
     ok_len = (n >= min_b) & (n <= max_b)
+    el = i32(bank.exact_lens)[sid]                       # [B, 4]
+    has_el = xp.any(el > 0, axis=1)
+    ok_len = ok_len & (~has_el | xp.any(el == n[:, None], axis=1))
 
     # ---- preamble search (first match wins, ref bitbuffer.c:232-253):
     # the candidate window at offset t is compared via PL shifted slices,
@@ -331,6 +374,10 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
     has_pat = plen > 0
     ok_pre = ~has_pat | found
     frame_off = xp.where(has_pat, pos + plen, 0) + i32(bank.align_off)[sid]
+    la_len = i32(bank.la_len)[sid]                       # [B, 2]
+    la_off = i32(bank.la_off)[sid]
+    frame_off = frame_off + xp.sum(
+        xp.where((la_len > 0) & (la_len == n[:, None]), la_off, 0), axis=1)
 
     need = i32(bank.need_bits)[sid]
     ok_need = frame_off + need <= n
