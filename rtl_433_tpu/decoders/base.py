@@ -324,31 +324,70 @@ class Registry:
             if tkey not in self._train_cache:
                 miss[bool(want_fsk)].setdefault(tkey, (p, g))
         built = 0
+        decl_syms = _decl_symbols() if self.decl_decode else ()
+        decl_items = []   # (want_fsk, dev_idx, memo, off) across the drain
+        decl_devs = []
+        freeze_items = []  # (LazyRecords, needed) — frozen drain-wide
         for want_fsk, items in miss.items():
             if not items:
                 continue
             bank = self._get_device_bank(want_fsk, sample_rate)
             meta = self._bank_meta(bank)
             results = bank.batch_slice(list(items.values()))
-            for tkey, (summary, records) in zip(items.keys(), results):
+            for tkey, (summary, records, group_of) in zip(items.keys(),
+                                                          results):
                 if len(summary) == 0:
                     memo = {"records": {}, "mats": {}, "priorities": []}
                 else:
                     memo = self._memo_plans(bank.devices, meta, summary,
-                                            records)
+                                            records, group_of)
                     # the plan fixes which records can ever be touched:
-                    # materialize those, drop the lazy kernel/arena refs
+                    # materialize those (batched drain-wide below), drop
+                    # the lazy kernel/arena refs
                     needed = set()
                     for plan in memo["priorities"]:
                         needed.update(
                             off for _r, _i, off in plan["stateful"])
                         needed.update(
                             off for _i, off, _n, _rw in plan["uniq"])
-                    records.freeze(needed)
+                    freeze_items.append((records, needed))
+                    # declarative candidates decode ONCE for the whole
+                    # drain below (one batched kernel call, not one
+                    # per-train call at dispatch time)
+                    for plan in memo["priorities"]:
+                        for i, off, _n, _rw in plan["uniq"]:
+                            dev = bank.devices[i]
+                            if dev.symbol not in decl_syms:
+                                continue
+                            ckey = (want_fsk, i, memo["records"][off])
+                            if ckey not in self._dec_cache:
+                                decl_items.append((ckey, memo, off))
+                                decl_devs.append(dev)
                 if len(self._train_cache) >= self.train_cache_max:
                     self._train_cache.clear()
                 self._train_cache[tkey] = memo
                 built += 1
+        if freeze_items:
+            from .device_dispatch import LazyRecords
+            LazyRecords.freeze_many(freeze_items)
+        if decl_items:
+            from .declarative import FALLBACK, get_runner
+            from ..pulse.native_slicers import materialize_bytes
+            runner = get_runner()
+            mats = []
+            for (ckey, memo, off), dev in zip(decl_items, decl_devs):
+                bitsb = memo["mats"].get(off)
+                if bitsb is None:
+                    bitsb = materialize_bytes(memo["records"][off])
+                    memo["mats"][off] = bitsb
+                mats.append((dev.symbol, bitsb))
+            outs = runner.decode_many(mats)
+            for (ckey, _memo, _off), ret in zip(decl_items, outs):
+                if ret is FALLBACK:
+                    continue  # dispatch falls back to the Python decoder
+                if len(self._dec_cache) >= self.dec_cache_max:
+                    self._dec_cache.clear()
+                self._dec_cache[ckey] = ret
         return built
 
     def _get_bank(self, want_fsk: bool, sample_rate: int):
@@ -417,7 +456,7 @@ class Registry:
             records[off] = bank.record_bytes(off)
         return self._memo_plans(devs, meta, summary, records)
 
-    def _memo_plans(self, devs, meta, summary, records):
+    def _memo_plans(self, devs, meta, summary, records, group_of=None):
         """Gate + dedup + plan a sliced summary into a train memo.
 
         ``summary`` rows are [spec, record_off, rows, max_bits] ordered by
@@ -456,13 +495,15 @@ class Registry:
             uniq_plan = []
             mic_counts = []
             if live.size:
-                # unique (spec, record CONTENT) pairs, first occurrence
-                # order. Grouping by bytes (not arena offset) lets the
-                # device bank skip content-dedup during record assembly:
-                # records serialize lazily, only for live rows reaching
-                # this point (LazyRecords, decoders/device_dispatch.py).
-                # The native path's offsets are content-unique per train,
-                # so its grouping is unchanged.
+                # unique (spec, record-slot) pairs, first occurrence
+                # order. Grouping by arena OFFSET (not content) means NO
+                # record bytes materialize for the ~1000s of gate-passing
+                # rows — content dedup still happens at decode time via
+                # the bytes-keyed decode cache, and only gate/MIC
+                # survivors ever serialize (LazyRecords). The native
+                # bank's offsets are content-unique per train, so its
+                # grouping (and the emission replay counts) is identical
+                # to the old content grouping there.
                 groups = {}
                 order = []
                 spec_live = spec_col[live].tolist()
@@ -470,15 +511,30 @@ class Registry:
                 for row, i, off in zip(live.tolist(), spec_live, off_live):
                     if meta["stateful"][i]:
                         continue  # replayed per occurrence instead
-                    key = (i, records[off])
+                    # device banks supply content-group representatives
+                    # (computed on device); native arena offsets are
+                    # already content-unique per train
+                    key = (i, off) if group_of is None \
+                        else int(group_of[row])
                     grp = groups.get(key)
                     if grp is None:
                         groups[key] = grp = (off, [])
                         order.append(key)
                     grp[1].append(row)
+                # batch-materialize the MIC-gated representatives (one
+                # device gather for the train, not one per record)
+                pending = []
+                mic_offs = []
                 for key in order:
-                    i, _blob = key
                     off, rows = groups[key]
+                    i = int(spec_col[rows[0]])
+                    pending.append((i, off, rows))
+                    if MIC_GATES.get(devs[i].symbol) is not None \
+                            and off not in mats:
+                        mic_offs.append(off)
+                if mic_offs and hasattr(records, "materialize_many"):
+                    records.materialize_many(mic_offs)
+                for i, off, rows in pending:
                     n_calls = len(rows)
                     mspec = MIC_GATES.get(devs[i].symbol)
                     if mspec is not None:

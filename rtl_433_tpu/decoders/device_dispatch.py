@@ -74,6 +74,50 @@ def _snap_record(snap, off):
     return snap[off: off + head + fr * 128].tobytes()
 
 
+_gather_jit = None
+
+
+def _gather_records(bytes_dev, syncs_dev, bs, js, es):
+    """Jitted (record) gather: one compiled executable per bucketed index
+    length instead of an eager op chain per call."""
+    global _gather_jit
+    import jax
+    if _gather_jit is None:
+        _gather_jit = jax.jit(
+            lambda by, sy, b, j, e: (by[b, j, e], sy[b, j, e]))
+    return _gather_jit(bytes_dev, syncs_dev, bs, js, es)
+
+
+def _content_dup(out):
+    """Device-side per-(train, spec) content dedup: dup[b, j, e] = first
+    event index e' <= e whose record content (row count, per-row bit
+    counts, syncs, row bytes) is identical to e's. Exact compares — no
+    hashing — so grouping by the dup representative preserves the byte
+    -level dedup semantics without transferring any record bytes."""
+    import jax.numpy as jnp
+    nb = out["bytes"]                 # [B, J, E, R, W] uint8
+    nr = out["num_rows"]              # [B, J, E]
+    bpr = out["bits_per_row"]         # [B, J, E, R]
+    sy = out["syncs"]                 # [B, J, E, R]
+    R = nb.shape[3]
+    rows_ok = jnp.arange(R)[None, None, None, :] < nr[..., None]
+    # pairwise (e, e') equality; rows at index >= num_rows are scratch
+    # and masked out of the compare
+    eq = nr[:, :, :, None] == nr[:, :, None, :]
+    pad_ok = ~rows_ok[:, :, :, None, :]                 # [B, J, E, 1, R]
+    eq &= ((bpr[:, :, :, None, :] == bpr[:, :, None, :, :])
+           | pad_ok).all(-1)
+    eq &= ((sy[:, :, :, None, :] == sy[:, :, None, :, :])
+           | pad_ok).all(-1)
+    beq = (nb[:, :, :, None] == nb[:, :, None, :]).all(-1)  # [B,J,E,E,R]
+    eq &= (beq | pad_ok).all(-1)
+    # only e' <= e counts; diagonal is always True so argmax is the first
+    E = nb.shape[2]
+    tri = jnp.arange(E)[None, :] >= jnp.arange(E)[:, None]  # e >= e'
+    eq &= tri[None, None]
+    return jnp.argmax(eq, axis=3).astype(jnp.int32)
+
+
 # LazyRecords source kinds (columns in src_kind)
 _SRC_EAGER = -1      # src_a indexes eager_blobs
 _SRC_SNAP = -2       # src_a indexes snaps, src_b is the arena offset
@@ -129,10 +173,66 @@ class LazyRecords:
 
     def freeze(self, needed):
         """Materialize ``needed`` offsets, drop every source reference."""
-        for off in needed:
-            self[off]
-        self._kind = self._a = self._b = None
-        self._fams = self._snaps = self._eager = None
+        LazyRecords.freeze_many([(self, needed)])
+
+    def materialize_many(self, offs):
+        """Batch-materialize offsets without dropping the sources."""
+        LazyRecords._materialize([(self, offs)])
+
+    @staticmethod
+    def freeze_many(items):
+        """Batch-freeze across a whole drain: ONE jitted device gather +
+        ONE transfer per kernel family for every surviving record of every
+        train, instead of per-record (or even per-train) device
+        round-trips — eager dispatch costs ~0.5 ms per op on CPU and a
+        DMA each on TPU. ``items`` is [(LazyRecords, needed_offs)]."""
+        LazyRecords._materialize(items)
+        for rec, _needed in items:
+            rec._kind = rec._a = rec._b = None
+            rec._fams = rec._snaps = rec._eager = None
+
+    @staticmethod
+    def _materialize(items):
+        by_fam = {}    # fams identity -> fam idx -> [(rec, off, b, j, e)]
+        for rec, needed in items:
+            for off in needed:
+                if off in rec._ready:
+                    continue
+                k = int(rec._kind[off])
+                if k >= 0:
+                    fams_groups = by_fam.setdefault(id(rec._fams), {})
+                    fams_groups.setdefault(k, []).append(
+                        (rec, off, rec._train, int(rec._a[off]),
+                         int(rec._b[off])))
+                else:
+                    rec[off]     # snap/eager: host-side, already cheap
+        for rec, _needed in items:
+            if rec._fams is None:
+                continue
+            groups = by_fam.pop(id(rec._fams), None)
+            if not groups:
+                continue
+            fams = rec._fams
+            for k, entries in groups.items():
+                out, caps = fams[k][0], fams[k][1]
+                n = len(entries)
+                P = _bucket(n, lo=8)
+                bs = np.zeros(P, np.int32)
+                js = np.zeros(P, np.int32)
+                es = np.zeros(P, np.int32)
+                for i, (_r, _o, b, j, e) in enumerate(entries):
+                    bs[i], js[i], es[i] = b, j, e
+                bytes_np, syncs_np = _gather_records(
+                    out["bytes"], out["syncs"], bs, js, es)
+                bytes_np = np.asarray(bytes_np)
+                syncs_np = np.asarray(syncs_np)
+                for i, (r, off, b, j, e) in enumerate(entries):
+                    nr = int(out["num_rows"][b, j, e])
+                    rows = np.zeros((nr, 128), np.uint8)
+                    rows[:, :caps.row_bytes] = bytes_np[i, :nr]
+                    r._ready[off] = _serialize(
+                        nr, nr, out["bits_per_row"][b, j, e],
+                        syncs_np[i], rows)
 
 
 class DeviceBank:
@@ -220,11 +320,13 @@ class DeviceBank:
         starts = np.r_[0, np.flatnonzero(np.diff(spec_l)) + 1]
         runlen = np.diff(np.r_[starts, k])
         seq = np.arange(k, dtype=np.int64) - np.repeat(starts, runlen)
+        # the native arena is content-unique per train, so the arena
+        # offset doubles as the content-group id
         return (np.asarray(full_map, np.int64)[spec_l], seq,
                 summary[:, 2].astype(np.int64),
                 summary[:, 3].astype(np.int64),
                 np.full(k, _SRC_SNAP, np.int64),
-                np.full(k, sid, np.int64), offs)
+                np.full(k, sid, np.int64), offs, offs)
 
     def _python_rows(self, pulse, gap, fulls, eager):
         """Exact Python slicing for ``fulls`` (native lib unavailable):
@@ -242,7 +344,7 @@ class DeviceBank:
                 one = np.ones(1, np.int64)
                 cols.append((one * full, one * e, one * nr, one * mb,
                              one * _SRC_EAGER, one * (len(eager) - 1),
-                             one * 0))
+                             one * 0, one * (len(eager) - 1)))
         return cols
 
     def _rest_cols(self, pulse, gap, snaps, eager):
@@ -304,8 +406,20 @@ class DeviceBank:
         fam_outs = []
         for fam, idx, bounds, caps in self.fams:
             out = kernels[fam](pulse, gap, n_pulses, bounds, caps)
-            fam_outs.append((fam, idx, caps,
-                             {k: np.asarray(v) for k, v in out.items()}))
+            # only the small summary planes transfer to the host eagerly;
+            # the record payloads ("bytes", "syncs" — the bulk of the
+            # kernel output) stay on device and move per RECORD, and only
+            # for candidates that survive the gates (LazyRecords): the
+            # wholesale np.asarray of "bytes" was ~90% of the drain's
+            # host time (and, on TPU, a giant needless DMA). Content
+            # dedup likewise runs ON DEVICE (the "dup" plane) so the host
+            # can group identical events without touching their bytes.
+            out = dict(out)
+            out["dup"] = _content_dup(out)
+            for k in ("ovf", "n_events", "num_rows", "bits_per_row",
+                      "dup"):
+                out[k] = np.asarray(out[k])
+            fam_outs.append((fam, idx, caps, out))
         rec_fams = [(out, caps) for _fam, _idx, caps, out in fam_outs]
 
         results = []
@@ -328,7 +442,8 @@ class DeviceBank:
                                  es.astype(np.int64),
                                  nr.astype(np.int64), mb.astype(np.int64),
                                  np.full(js.size, fi, np.int64),
-                                 js.astype(np.int64), es.astype(np.int64)))
+                                 js.astype(np.int64), es.astype(np.int64),
+                                 out["dup"][b][js, es].astype(np.int64)))
                 fallback += [int(idx[j]) for j in np.flatnonzero(ovf)]
             if fallback:
                 fallback.sort()
@@ -345,7 +460,8 @@ class DeviceBank:
                 empty = np.zeros(0, np.int64)
                 results.append((np.zeros((0, 4), np.int32),
                                 LazyRecords(empty, empty, empty,
-                                            rec_fams, snaps, eager, b)))
+                                            rec_fams, snaps, eager, b),
+                                np.zeros(0, np.int32)))
                 continue
             full = np.concatenate([c[0] for c in cols])
             seq = np.concatenate([c[1] for c in cols])
@@ -354,6 +470,7 @@ class DeviceBank:
             kind = np.concatenate([c[4] for c in cols])
             sa = np.concatenate([c[5] for c in cols])
             sb = np.concatenate([c[6] for c in cols])
+            gd = np.concatenate([c[7] for c in cols])
             order = np.lexsort((seq, full))
             k = len(order)
             summary = np.stack(
@@ -361,5 +478,15 @@ class DeviceBank:
                  nr[order], mb[order]], axis=1).astype(np.int32)
             records = LazyRecords(kind[order], sa[order], sb[order],
                                   rec_fams, snaps, eager, b)
-            results.append((summary, records))
+            # content-group representative per position: first position
+            # sharing (spec, source, content-id) — kernel content ids come
+            # from the on-device dup plane, native ones from the
+            # content-unique arena offset
+            gkeys = np.stack([full[order], kind[order], sa[order],
+                              gd[order]], axis=1)
+            _uniq, inv = np.unique(gkeys, axis=0, return_inverse=True)
+            first = np.full(len(_uniq), k, np.int64)
+            np.minimum.at(first, inv, np.arange(k))
+            group_of = first[inv].astype(np.int32)
+            results.append((summary, records, group_of))
         return results

@@ -349,10 +349,12 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
 
     # ---- preamble search (first match wins, ref bitbuffer.c:232-253):
     # the candidate window at offset t is compared via PL shifted slices,
-    # no gathers
+    # no gathers. On the NumPy backend tiny per-train batches skip the
+    # stage entirely when no candidate has a pattern (host fast path; the
+    # jit backend keeps the static structure).
     plen = i32(bank.plen)[sid]                   # [B]
     pre_start = i32(bank.pre_start)[sid]
-    if bank.pat_len:
+    if bank.pat_len and (xp is not np or bool(np.any(np.asarray(plen) > 0))):
         PL = bank.pat_len
         T = IN
         pat = xp.asarray(bank.pat)[sid]          # [B, PL]
@@ -391,9 +393,11 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
 
     # ---- transforms
     tf = i32(bank.transform)[sid]
-    fb = xp.where((tf == TF_INVERT)[:, None] & inb, fb ^ 1, fb)
+    if xp is not np or bool(np.any(np.asarray(tf) == TF_INVERT)):
+        fb = xp.where((tf == TF_INVERT)[:, None] & inb, fb ^ 1, fb)
     ok_tf = xp.ones((B,), dtype=bool)
-    if int(np.any(np.asarray(bank.transform) == TF_MANCHESTER)):
+    if int(np.any(np.asarray(bank.transform) == TF_MANCHESTER)) and (
+            xp is not np or bool(np.any(np.asarray(tf) == TF_MANCHESTER))):
         H = FB // 2
         b1 = fb[:, 0:2 * H:2]
         b2 = fb[:, 1:2 * H:2]
@@ -414,18 +418,31 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
     if bank.n_checks:
         fbit = fb != 0                                       # [B, FB]
         kind = i32(bank.ck_kind)[sid]                        # [B, C]
+        kind_np = np.asarray(kind) if xp is np else None
         for c in range(bank.n_checks):
-            tabs = xp.asarray(bank.ck_gf2[:, c, :],
-                              dtype=xp.uint32)[sid]          # [B, FB]
-            x = xp.where(fbit, tabs, xp.uint32(0))
-            gf2 = xp.bitwise_xor.reduce(x, axis=1)
-            gf2_ok = gf2 == xp.asarray(bank.ck_tc[:, c],
-                                       dtype=xp.uint32)[sid]
-            w = xp.asarray(bank.ck_add[:, c, :], dtype=xp.int32)[sid]
-            s = xp.sum(xp.where(fbit, w, 0), axis=1, dtype=xp.int32)
-            mod = i32(bank.ck_mod[:, c])[sid]
-            tca = i32(bank.ck_tca[:, c])[sid]
-            add_ok = (s % mod + mod) % mod == tca
+            if kind_np is not None and not np.any(kind_np[:, c]):
+                continue  # slot unused by every candidate (host batches)
+            need_gf2 = kind_np is None or bool(
+                np.any(kind_np[:, c] == CK_GF2))
+            need_add = kind_np is None or bool(
+                np.any(kind_np[:, c] == CK_ADD))
+            if need_gf2:
+                tabs = xp.asarray(bank.ck_gf2[:, c, :],
+                                  dtype=xp.uint32)[sid]      # [B, FB]
+                x = xp.where(fbit, tabs, xp.uint32(0))
+                gf2 = xp.bitwise_xor.reduce(x, axis=1)
+                gf2_ok = gf2 == xp.asarray(bank.ck_tc[:, c],
+                                           dtype=xp.uint32)[sid]
+            else:
+                gf2_ok = xp.zeros((B,), dtype=bool)
+            if need_add:
+                w = xp.asarray(bank.ck_add[:, c, :], dtype=xp.int32)[sid]
+                s = xp.sum(xp.where(fbit, w, 0), axis=1, dtype=xp.int32)
+                mod = i32(bank.ck_mod[:, c])[sid]
+                tca = i32(bank.ck_tca[:, c])[sid]
+                add_ok = (s % mod + mod) % mod == tca
+            else:
+                add_ok = xp.zeros((B,), dtype=bool)
             ck = xp.where(kind[:, c] == CK_GF2, gf2_ok, add_ok)
             ck = ck ^ xp.asarray(bank.ck_neq[:, c])[sid]
             ok_mic = ok_mic & ((kind[:, c] == CK_OFF) | ck)
