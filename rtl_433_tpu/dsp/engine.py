@@ -1303,11 +1303,40 @@ def compact_packages(state, cap: int):
     C, S, P = out_p.shape
     slot_i = lax.broadcasted_iota(jnp.int32, (C, S), 1)
     valid = (slot_i < jnp.minimum(out_n, S)[:, None]).reshape(-1)
+    # compaction as a one-hot MXU matmul, not a gather: advanced-index
+    # gathers over the [C*S, P] buffers cost ~200 ms each on this TPU
+    # (same pathology the drain works around — see _drain_block); the
+    # matmul runs in ~ms. Exactness: each output cell receives exactly
+    # one contribution (one-hot row), pulse/gap widths < 2^24 are exact
+    # in f32, and HIGHEST precision keeps the dot in true f32. The meta
+    # plane (sample offsets can exceed 2^24) goes through the same
+    # byte-split trick as the drain.
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    keep = valid & (rank < cap)
     idx = jnp.nonzero(valid, size=cap, fill_value=-1)[0]
     safe = jnp.maximum(idx, 0)
-    pulse = out_p.reshape(C * S, P)[safe]
-    gap = out_g.reshape(C * S, P)[safe]
-    meta = out_meta.reshape(C * S, META_FIELDS)[safe]
+    onehot = ((rank[None, :] == jnp.arange(cap, dtype=jnp.int32)[:, None])
+              & keep[None, :]).astype(jnp.float32)          # [cap, C*S]
+    pg = jnp.concatenate([out_p.reshape(C * S, P),
+                          out_g.reshape(C * S, P)], axis=1).astype(
+        jnp.float32)                                        # [C*S, 2P]
+    pg_c = lax.dot_general(onehot, pg, (((1,), (0,)), ((), ())),
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+    pg_c = pg_c.astype(jnp.int32)
+    pulse, gap = pg_c[:, :P], pg_c[:, P:]
+    m32 = out_meta.reshape(C * S, META_FIELDS)
+    mbytes = jnp.concatenate(
+        [((m32 >> 24) & 0xFF).astype(jnp.float32),
+         ((m32 >> 16) & 0xFF).astype(jnp.float32),
+         ((m32 >> 8) & 0xFF).astype(jnp.float32),
+         (m32 & 0xFF).astype(jnp.float32)], axis=1)         # [C*S, 4F]
+    mc = lax.dot_general(onehot, mbytes, (((1,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32).astype(
+        jnp.int32)
+    F = META_FIELDS
+    meta = ((mc[:, :F] << 24) | (mc[:, F:2 * F] << 16)
+            | (mc[:, 2 * F:3 * F] << 8) | mc[:, 3 * F:])
     channel = jnp.where(idx >= 0, safe // S, -1)
     count = jnp.sum(valid.astype(jnp.int32))
     return {"pulse": pulse, "gap": gap, "meta": meta, "channel": channel,

@@ -280,3 +280,36 @@ def test_group_cap_overflow_counter_stays_zero():
     state, _ = pb(state, jnp.asarray(blkp), jnp.int32(N), flush=True)
     assert int(np.asarray(state["n_ring_ovf"]).sum()) == 0
     assert int(np.asarray(state["n_pkg_drop"]).sum()) == 0
+
+
+def test_compact_packages_matches_take_packages():
+    """Device-side package compaction must reproduce take_packages exactly
+    (same order, same payloads) — it is the bench/live transfer format."""
+    from rtl_433_tpu.dsp.engine import compact_packages, packages_from_compact
+
+    iq = PWM_SIG()
+    params = DetectorParams()
+    N = iq.shape[0]
+    pad = (-N) % params.chunk
+    one = np.pad(iq, ((0, pad), (0, 0)), constant_values=128)
+    # 3 channels: signal, noise-free idle, signal shifted
+    blk = np.stack([one, np.full_like(one, 128),
+                    np.roll(one, 1024, axis=0)])
+    state = detector_init(params, 3)
+    pb = jax.jit(functools.partial(process_block, params),
+                 static_argnames=("flush",))
+    state, _ = pb(state, jnp.asarray(blk), jnp.int32(N), flush=True)
+    comp = jax.jit(functools.partial(compact_packages, cap=16))(state)
+    via_compact, count = packages_from_compact(
+        {k: np.asarray(v) for k, v in comp.items()})
+    via_take, _state = take_packages(state)
+    assert count == len(via_take) and len(via_compact) == len(via_take)
+    for a, b in zip(via_compact, via_take):
+        assert a["channel"] == b["channel"]
+        assert a["type"] == b["type"]
+        assert a["num_pulses"] == b["num_pulses"]
+        assert a["pulse"].tolist() == b["pulse"].tolist()
+        assert a["gap"].tolist() == b["gap"].tolist()
+        for k in ("ook_low_estimate", "ook_high_estimate", "fsk_f1_est",
+                  "fsk_f2_est", "start", "end"):
+            assert a[k] == b[k], k
