@@ -690,3 +690,71 @@ _spec(DeclSpec(
           mul=0.1, pretty="Temperature", fmt="%.2f C"),
     )),),
 ))
+
+
+# ---------------------------------------------------------------------------
+# FSK PCM family
+# ---------------------------------------------------------------------------
+
+def _lacrosse_it_spec(symbol, model):
+    # LaCrosse TX29/TX35 IT (ref src/devices/lacrosse_tx35.c:76-180;
+    # protocols.py _lacrosse_it): a2dd49 preamble, frame at match+20,
+    # crc8(0x31) over 4 bytes, BCD temperature, humidity 106=none
+    # 125=probe (+0x40 on id), events for EVERY matching row
+    return DeclSpec(
+        symbol=symbol,
+        min_bits=24, row_mode="all",
+        preamble="101000101101110101001001",   # a2dd49
+        align_off=-4,                          # frame starts at match+20
+        frame_bits=40, in_bits=512,
+        checks=(Check("crc8", off=0, nbytes=4, p1=0x31, p2=0x00,
+                      cmp_off=32, cmp_width=8),),
+        raws=(Raw(4, 6),        # 0 sensor id
+              Raw(12, 4),       # 1 temp tens (BCD)
+              Raw(16, 4),       # 2 temp ones
+              Raw(20, 4),       # 3 temp tenths
+              Raw(10, 1),       # 4 new battery
+              Raw(24, 1),       # 5 battery low
+              Raw(25, 7)),      # 6 humidity
+        variants=(
+            Variant(cond=San(6, "eq", 125), fields=(
+                F("model", "const", value=model),
+                F("id", terms=((0, 1, 0),), add=0x40),
+                F("battery_ok", terms=((5, -1, 0),), add=1,
+                  pretty="Battery"),
+                F("newbattery", terms=((4, 1, 0),), pretty="NewBattery"),
+                F("temperature_C", kind="fsum",
+                  terms=((1, 10, 0), (2, 1, 0), (3, 0.1, 0)), add=-40.0,
+                  pretty="Temperature", fmt="%.1f C"),
+                F("mic", "const", value="CRC", pretty="Integrity"),
+            )),
+            Variant(cond=San(6, "eq", 106), fields=(
+                F("model", "const", value=model),
+                F("id", terms=((0, 1, 0),)),
+                F("battery_ok", terms=((5, -1, 0),), add=1,
+                  pretty="Battery"),
+                F("newbattery", terms=((4, 1, 0),), pretty="NewBattery"),
+                F("temperature_C", kind="fsum",
+                  terms=((1, 10, 0), (2, 1, 0), (3, 0.1, 0)), add=-40.0,
+                  pretty="Temperature", fmt="%.1f C"),
+                F("mic", "const", value="CRC", pretty="Integrity"),
+            )),
+            Variant(fields=(
+                F("model", "const", value=model),
+                F("id", terms=((0, 1, 0),)),
+                F("battery_ok", terms=((5, -1, 0),), add=1,
+                  pretty="Battery"),
+                F("newbattery", terms=((4, 1, 0),), pretty="NewBattery"),
+                F("temperature_C", kind="fsum",
+                  terms=((1, 10, 0), (2, 1, 0), (3, 0.1, 0)), add=-40.0,
+                  pretty="Temperature", fmt="%.1f C"),
+                F("humidity", terms=((6, 1, 0),), pretty="Humidity",
+                  fmt="%u %%"),
+                F("mic", "const", value="CRC", pretty="Integrity"),
+            )),
+        ),
+    )
+
+
+_spec(_lacrosse_it_spec("lacrosse_tx35", "LaCrosse-TX35DTHIT"))
+_spec(_lacrosse_it_spec("lacrosse_tx29", "LaCrosse-TX29IT"))

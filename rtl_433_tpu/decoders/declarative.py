@@ -266,16 +266,20 @@ class DeclRunner:
             return [spec.fixed_row]
         return list(range(bits.num_rows))
 
-    def _row_bits(self, bits, row: int) -> Optional[np.ndarray]:
+    def _row_bits(self, bits, row: int):
+        """Unpack the row's STORED bits (the reference's extract/digest
+        helpers read stale storage past bits_per_row, so the kernel gets
+        the storage too, zero-padded at the true storage boundary)."""
         n = int(bits.bits_per_row[row])
         if n > self.bank.in_bits:
-            return None
+            return None, 0
         raw = bits.bb[row:].reshape(-1)
-        nb = (n + 7) // 8
-        ba = np.unpackbits(raw[:nb])[:n]
+        nb = min(raw.size, (self.bank.in_bits + 7) // 8)
+        ba = np.unpackbits(raw[:nb])
         out = np.zeros(self.bank.in_bits, np.uint8)
-        out[:n] = ba
-        return out
+        m = min(ba.size, self.bank.in_bits)
+        out[:m] = ba[:m]
+        return out, m
 
     def decode_many(self, items: Sequence[Tuple[str, object]],
                     xp=np) -> List[object]:
@@ -285,6 +289,7 @@ class DeclRunner:
         rets: List[object] = [None] * len(items)
         cand_bits: List[np.ndarray] = []
         cand_n: List[int] = []
+        cand_ns: List[int] = []
         cand_sid: List[int] = []
         cand_item: List[int] = []
         for ix, (symbol, bits) in enumerate(items):
@@ -296,13 +301,14 @@ class DeclRunner:
                 continue
             any_row = False
             for r in rows:
-                ba = self._row_bits(bits, r)
+                ba, m = self._row_bits(bits, r)
                 if ba is None:
                     rets[ix] = FALLBACK
                     any_row = False
                     break
                 cand_bits.append(ba)
                 cand_n.append(int(bits.bits_per_row[r]))
+                cand_ns.append(m)
                 cand_sid.append(si)
                 cand_item.append(ix)
                 any_row = True
@@ -312,7 +318,8 @@ class DeclRunner:
             return rets
         code, raws = dbk.run(self.bank, np.stack(cand_bits),
                              np.asarray(cand_n, np.int32),
-                             np.asarray(cand_sid, np.int32), xp=xp)
+                             np.asarray(cand_sid, np.int32), xp=xp,
+                             n_store=np.asarray(cand_ns, np.int32))
         code = np.asarray(code)
         raws = np.asarray(raws)
         # group candidate rows back to items, in row order
@@ -387,6 +394,17 @@ class DeclRunner:
         """acc = (sum(terms) >> shr) + add, then per-kind rendering."""
         if f.kind == "const":
             return f.value
+        if f.kind == "fsum":
+            # left-to-right FLOAT accumulation of coef*value, then + add:
+            # replicates e.g. `10*d1 + d2 + 0.1*d3 - 40.0` bit-exactly
+            # (ints < 2^53 are exact in float, so the integer prefix
+            # matches Python's int math before the float term joins)
+            accf = 0.0
+            for t in f.terms:
+                ri, coef = t[0], t[1]
+                sbits = t[2] if len(t) > 2 else 0
+                accf = accf + coef * _sex(vals[ri], sbits)
+            return float(accf + f.add)
         acc = (_terms(f.terms, vals) >> f.shr) + f.add
         if f.kind == "int":
             return int(acc)

@@ -324,11 +324,16 @@ def make_raw(off: int, width: int, frame_bits: int,
     return w
 
 
-def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
+def run(bank: CompiledBank, bits, n_bits, sid, xp=np, n_store=None):
     """Evaluate a candidate batch against the bank.
 
-    bits: [B, IN] uint8 0/1, zero beyond each row's n_bits
-    n_bits: [B] int32, sid: [B] int32 spec index
+    bits: [B, IN] uint8 0/1 — the row's STORED bits (bitbuffer storage,
+    possibly longer than n_bits; the reference's extract/CRC helpers read
+    stale stored bits past bits_per_row, so extraction must too)
+    n_bits: [B] int32 row lengths (bounds the length gate + search)
+    n_store: [B] int32 stored-bit counts (bounds extraction; defaults to
+    n_bits for callers whose rows are canonically zero-padded)
+    sid: [B] int32 spec index
     Returns (code [B] int32: 0 decodes, DECODE_* otherwise,
              raws [B, R] uint32 extracted fields).
     All ops are shape-static and xp-polymorphic (numpy / jax.numpy).
@@ -338,6 +343,7 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
     i32 = lambda a: xp.asarray(a, dtype=xp.int32)
     bits = xp.asarray(bits, dtype=xp.uint8)
     n = i32(n_bits)
+    ns = n if n_store is None else i32(n_store)
     sid = i32(sid)
 
     min_b = i32(bank.min_bits)[sid]
@@ -384,10 +390,11 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np):
     need = i32(bank.need_bits)[sid]
     ok_need = frame_off + need <= n
 
-    # ---- frame extraction (zero past the row end)
+    # ---- frame extraction (stale stored bits past the row length are
+    # READ, like the reference's extract_bytes; zero past the storage)
     j = xp.arange(FB, dtype=xp.int32)[None, :]
     src = frame_off[:, None] + j                             # [B, FB]
-    inb = src < n[:, None]
+    inb = src < ns[:, None]
     fb = xp.take_along_axis(bits, xp.minimum(src, IN - 1), axis=1)
     fb = xp.where(inb, fb, 0).astype(xp.uint8)
 
