@@ -758,3 +758,291 @@ def _lacrosse_it_spec(symbol, model):
 
 _spec(_lacrosse_it_spec("lacrosse_tx35", "LaCrosse-TX35DTHIT"))
 _spec(_lacrosse_it_spec("lacrosse_tx29", "LaCrosse-TX29IT"))
+
+
+# ---------------------------------------------------------------------------
+# Doorbells / remotes / rain gauges batch
+# ---------------------------------------------------------------------------
+
+_spec(DeclSpec(
+    # Elro-DB286A doorbell (ref src/devices/elro_db286a.c:20-40;
+    # remotes.py): 33-bit code repeated 5x, no MIC
+    symbol="elro_db286a",
+    min_bits=33, max_bits=33, exact_lens=(33,), row_mode="repeat",
+    min_repeats=5, repeat_min_bits=33, frame_bits=33, in_bits=296,
+    raws=(Raw(0, 32),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Elro-DB286A"),
+        F("id", kind="hexs", terms=((0, 1, 0),), val=8, pretty="ID"),
+    )),),
+))
+
+
+from .remotes2 import _DISH_BUTTONS  # noqa: E402  (data table)
+
+_spec(DeclSpec(
+    # Dish Network remote 6.3 (ref src/devices/dish_remote_6_3.c;
+    # remotes2.py): 16-bit rows x3, fixed framing bits, button table
+    symbol="dish_remote_6_3",
+    min_bits=16, max_bits=16, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=16, frame_bits=16, in_bits=296,
+    raws=(Raw(0, 6),                                    # 0 button code
+          Raw(6, 2),                                    # 1 must be 2
+          Raw(0, 4, bit_order=(8, 9, 10, 12))),         # 2 framing 0xB
+    sanity=(San(1, "eq", 0x2),
+            San(2, "eq", 0xB),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Dish-RC63"),
+        F("button", kind="enum", terms=((0, 1, 0),),
+          map={i: s for i, s in enumerate(_DISH_BUTTONS)}),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Blyss-DC5ukwh (ref src/devices/blyss.c:18-48; remotes.py): two
+    # fixed 33-bit codes (both end in 0x80)
+    symbol="blyss",
+    min_bits=33, max_bits=33, exact_lens=(33,), row_mode="any",
+    frame_bits=40, in_bits=296,
+    raws=(Raw(0, 32), Raw(32, 8)),
+    sanity=(San(0, "in", (0xCE8E2A6C, 0xE7377A2C)),
+            San(1, "eq", 0x80),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Blyss-DC5ukwh"),
+        F("id", kind="hexs", terms=((0, 1, 0),), val=8),
+    )),),
+))
+
+
+def _acurite_rain_guard(bits):
+    if bits.num_rows < 12 and bits.bits_per_row[0] >= 24:
+        return DECODE_ABORT_EARLY
+    return None
+
+
+_spec(DeclSpec(
+    # Acurite-Rain 896 (ref src/devices/acurite.c:151-185; weather
+    # family): 24-bit row 0, >= 12 rows, stale bytes 3/4 must be zero
+    symbol="acurite_rain_896",
+    min_bits=24, row_mode="row0", host_guard=_acurite_rain_guard,
+    frame_bits=40, in_bits=296,
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 8),          # 1 b1
+          Raw(16, 8),         # 2 b2
+          Raw(24, 8),         # 3 b3 (stale, must be 0)
+          Raw(32, 8),         # 4 b4 (stale, must be 0)
+          Raw(12, 12)),       # 5 rain counter
+    sanity=(San(0, "ne", 0), San(1, "ne", 0), San(2, "ne", 0),
+            San(3, "eq", 0), San(4, "eq", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Acurite-Rain"),
+        F("id", terms=((0, 1, 0),)),
+        F("rain_mm", kind="float", terms=((5, 1, 0),), mul=0.5,
+          pretty="Total Rain", fmt="%.1f mm"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Quhwa-Doorbell (ref src/devices/quhwa.c:16-48; remotes.py):
+    # inverted 18-bit code repeated 5x
+    symbol="quhwa",
+    min_bits=18, max_bits=18, exact_lens=(18,), row_mode="repeat",
+    min_repeats=5, repeat_min_bits=18, frame_bits=24, in_bits=296,
+    raws=(Raw(0, 24),         # 0 nonzero guard (pre-inversion, stale ok)
+          Raw(14, 2),         # 1 must be 0 (inverted 0x03)
+          Raw(16, 2),         # 2 must be 0 (inverted 0xC0)
+          Raw(0, 16)),        # 3 id source
+    sanity=(San(0, "ne", 0),
+            San(1, "eq", 0),
+            San(2, "eq", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Quhwa-Doorbell"),
+        F("id", terms=((3, -1, 0),), add=0xFFFF, pretty="ID"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # RF-tech / INFRA 217S34 (ref src/devices/rftech.c; temperature
+    # family): sign-magnitude temperature, no MIC
+    symbol="rftech",
+    min_bits=24, max_bits=24, exact_lens=(24,), row_mode="repeat",
+    min_repeats=3, repeat_min_bits=24, frame_bits=24, in_bits=296,
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 1),          # 1 sign
+          Raw(9, 7),          # 2 integer degrees
+          Raw(20, 4),         # 3 tenths
+          Raw(16, 1),         # 4 battery
+          Raw(17, 2)),        # 5 button bits
+    variants=(
+        Variant(cond=San(1, "eq", 1), fields=(
+            F("model", "const", value="RF-tech"),
+            F("id", terms=((0, 1, 0),), pretty="Id"),
+            F("battery_ok", terms=((4, 1, 0),), pretty="Battery"),
+            # -(a + 0.1*b): IEEE negation distributes over the sum
+            F("temperature_C", kind="fsum",
+              terms=((2, -1, 0), (3, -0.1, 0)), pretty="Temperature",
+              fmt="%.1f C"),
+            F("button", kind="bool", terms=((5, 1, 0),), pretty="Button"),
+        )),
+        Variant(fields=(
+            F("model", "const", value="RF-tech"),
+            F("id", terms=((0, 1, 0),), pretty="Id"),
+            F("battery_ok", terms=((4, 1, 0),), pretty="Battery"),
+            F("temperature_C", kind="fsum",
+              terms=((2, 1, 0), (3, 0.1, 0)), pretty="Temperature",
+              fmt="%.1f C"),
+            F("button", kind="bool", terms=((5, 1, 0),), pretty="Button"),
+        )),
+    ),
+))
+
+
+_spec(DeclSpec(
+    # Eurochron-TH (ref src/devices/eurochron.c; temperature.py)
+    symbol="eurochron",
+    min_bits=36, max_bits=36, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=36, frame_bits=40, in_bits=296,
+    raws=(Raw(0, 8),          # 0 id
+          Raw(12, 4),         # 1 must be 0
+          Raw(8, 1),          # 2 battery-low flag
+          Raw(11, 1),         # 3 button
+          Raw(16, 8),         # 4 humidity
+          Raw(24, 12)),       # 5 temp signed 12
+    sanity=(San(1, "eq", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Eurochron-TH"),
+        F("id", terms=((0, 1, 0),)),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((5, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", terms=((4, 1, 0),), pretty="Humidity"),
+        F("button", terms=((3, 1, 0),), pretty="Button"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Maverick-ET73 BBQ (ref src/devices/maverick_et73.c; temperature.py)
+    symbol="maverick_et73",
+    min_bits=48, max_bits=48, exact_lens=(48,), row_mode="repeat",
+    min_repeats=3, repeat_min_bits=48, frame_bits=48, in_bits=296,
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 12),         # 1 temp1 signed 12
+          Raw(20, 12),        # 2 temp2 signed 12
+          Raw(0, 32)),        # 3 all-0/all-FF guard
+    sanity=(San(3, "ne", 0),
+            San(3, "ne", 0xFFFFFFFF),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Maverick-ET73"),
+        F("id", terms=((0, 1, 0),), pretty="Random Id"),
+        F("temperature_1_C", kind="float", terms=((1, 1, 12),), mul=0.1,
+          pretty="Temperature 1", fmt="%.1f C"),
+        F("temperature_2_C", kind="float", terms=((2, 1, 12),), mul=0.1,
+          pretty="Temperature 2", fmt="%.1f C"),
+    )),),
+))
+
+
+def _rfxmeter_rows(bits):
+    from .base import DECODE_ABORT_LENGTH
+    if bits.num_rows not in (1, 2):
+        return DECODE_ABORT_LENGTH
+    return [bits.num_rows - 1]
+
+
+_spec(DeclSpec(
+    # RFXMeter / RFXPower (ref src/devices/rfxmeter.c; meters family):
+    # id ^ 0xF0 == next byte, nibble-sum == 0x0F
+    symbol="rfxmeter",
+    min_bits=48, max_bits=48, exact_lens=(48,), row_mode="any",
+    host_guard=_rfxmeter_rows, frame_bits=48, in_bits=296,
+    checks=(
+        Check("xor_bytes", off=0, nbytes=2, cmp_const=0xF0),
+        Check("add_nibbles", off=0, nbytes=6, mask=0xF, cmp_const=0x0F),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(40, 4),         # 1 msg type
+          # 2 msg value: (b4 << 16) | (b2 << 8) | b3
+          Raw(0, 24, bit_order=tuple(range(32, 40)) + tuple(range(16, 24))
+              + tuple(range(24, 32)))),
+    variants=(Variant(fields=(
+        F("model", "const", value="RfxMeter"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("msg_type", terms=((1, 1, 0),), pretty="Msg Type"),
+        F("msg_value", terms=((2, 1, 0),), pretty="Msg Value"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # TFA Drop 30.3233.01 rain gauge (ref src/devices/tfa_drop_30.3233.c;
+    # weather family): inverted, reflected LFSR-8 gen 0x31 key 0xF4
+    symbol="tfa_drop_303233",
+    min_bits=66, max_bits=82, row_mode="repeat", min_repeats=2,
+    repeat_min_bits=66, transform="invert", frame_bits=66, in_bits=296,
+    checks=(Check("lfsr_digest8_reflect", off=0, nbytes=7, p1=0x31,
+                  p2=0xF4, cmp_off=56, cmp_width=8),),
+    raws=(Raw(0, 4),          # 0 type nibble (0x3)
+          Raw(4, 20),         # 1 id
+          Raw(24, 1),         # 2 battery-low
+          # 3 rain counter: (b6 << 8) | b4
+          Raw(0, 16, bit_order=tuple(range(48, 56)) + tuple(range(32, 40))),
+          ),
+    sanity=(San(0, "eq", 0x3),),
+    variants=(Variant(fields=(
+        F("model", "const", value="TFA-Drop"),
+        F("id", terms=((1, 1, 0),), pretty="", fmt="%5x"),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("rain_mm", kind="float", terms=((3, 1, 0),), add=10,
+          modulo=0x10000, mul=0.254, pretty="Rain total", fmt="%.1f mm"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Akhan-100F14 RKE (ref src/devices/akhan_100F14.c:19-59;
+    # remotes.py): inverted 25-bit code, command nibble lookup
+    symbol="akhan_100F14",
+    min_bits=25, max_bits=25, exact_lens=(25,), row_mode="row0",
+    frame_bits=25, in_bits=64,
+    raws=(Raw(0, 20),         # 0 ~id source
+          Raw(20, 4)),        # 1 ~cmd source
+    sanity=(San(1, "in", (14, 13, 11, 7)),),   # ~cmd in {1,2,4,8}
+    variants=(Variant(fields=(
+        F("model", "const", value="Akhan-100F14"),
+        F("id", terms=((0, -1, 0),), add=0xFFFFF, pretty="ID (20bit)",
+          fmt="0x%x"),
+        F("data", kind="enum", terms=((1, -1, 0),), add=0xF,
+          map={0x1: "0x1 (Lock)", 0x2: "0x2 (Unlock)",
+               0x4: "0x4 (Mute)", 0x8: "0x8 (Alarm)"},
+          pretty="Data (4bit)"),
+    )),),
+))
+
+
+def _generic_motion_rows(bits):
+    rows = [i for i in range(bits.num_rows) if bits.count_repeats(i) >= 3]
+    if not rows:
+        return DECODE_ABORT_EARLY
+    return rows
+
+
+_spec(DeclSpec(
+    # Generic-Motion (ref src/devices/generic_motion.c:33-60; misc):
+    # 20-bit rows repeated >= 3x (any row), no checksum
+    symbol="generic_motion",
+    min_bits=20, max_bits=20, exact_lens=(20,), row_mode="any",
+    host_guard=_generic_motion_rows, frame_bits=24, in_bits=64,
+    raws=(Raw(0, 20),         # 0 code
+          Raw(8, 16)),        # 1 b1|b2 guard (stale tail read)
+    sanity=(San(1, "ne", 0x0000),
+            San(1, "ne", 0xFFF0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Generic-Motion"),
+        F("code", kind="hexs", terms=((0, 1, 0),), val=5),
+    )),),
+))

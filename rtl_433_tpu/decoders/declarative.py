@@ -103,6 +103,7 @@ class F:
     add: float = 0
     mul: float = 1.0
     shr: int = 0                # arithmetic shift applied after terms
+    modulo: int = 0             # acc %= modulo after add (wrap idioms)
     mask: int = 0xFFFFFFFF
     val: int = 0
     map: Optional[Dict] = None
@@ -406,6 +407,8 @@ class DeclRunner:
                 accf = accf + coef * _sex(vals[ri], sbits)
             return float(accf + f.add)
         acc = (_terms(f.terms, vals) >> f.shr) + f.add
+        if f.modulo:
+            acc = int(acc) % f.modulo
         if f.kind == "int":
             return int(acc)
         if f.kind == "float":
@@ -420,6 +423,8 @@ class DeclRunner:
             return float(f.map.get(int(acc), acc))
         if f.kind == "enumf":  # mapped int, then the float mul chain
             return float(f.map.get(int(acc), f.default) * f.mul)
+        if f.kind == "hexs":   # zero-padded lowercase hex string, f.val
+            return format(int(acc), "0%dx" % f.val)  # = digit count
         raise ValueError(f.kind)
 
 

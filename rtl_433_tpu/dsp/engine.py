@@ -686,32 +686,37 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
                  gen0):
     """End-of-block publish + carry rebuild (no per-chunk work).
 
-    log_key/log_p/log_g: [C, S] record log in temporal order;
+    log_key/log_p/log_g: [C*R, G] record log — row c*R+i holds ring slot i
+    of channel c, column g is the chunk-group (temporal order). This
+    "ring-major rows, time-minor columns" layout keeps the big log tensors
+    2-D with a large minor dimension: the natural [C, G, R] view has an
+    8-wide minor dim that TPU tiling pads 16x (three 4 GB copies per block
+    at 8192 channels — the round-5 OOM).
     eop_log: [C, Et, META_FIELDS] EOP metadata in temporal order.
 
     The log is compacted into a flat [arena] record list by GATHERS, not
     sorts/scatters: ring writes are front-compacted within each chunk's
     R-slot group (the one-hot write position starts at 0 every chunk), so
     every record's rank is computable from two exclusive cumsums (records
-    per group, records per channel) — no argsort over [C, S], and the
+    per group, records per channel) — no argsort over the log, and the
     publish scatters shrink from C*S updates to `arena` updates. This is
     what lets the publish pass run at the record count (~1e4/block) instead
     of the log capacity (~3e7/block) — the round-2/3 "publish wall".
     """
-    C, S = log_key.shape
     cap = params.pkg_cap
     mp = params.max_pulses
     gshift = 1 << _KEY_IDX_BITS
     R = params.ring
-    # callers emit whole R-wide ring groups (flush rows are padded to R)
-    assert S % R == 0, "record log must be chunk-group aligned"
-    G = S // R
+    CR, G = log_key.shape
+    assert CR % R == 0
+    C = CR // R
     F = params.arena
 
     # ---- record ranks from cumsums (no sort). Within a group, valid slots
     # occupy positions 0..w-1 in temporal order; groups are temporal too.
-    valid = (log_key < _KEY_INVALID).reshape(C, G, R)
-    w = jnp.sum(valid, axis=2, dtype=jnp.int32)          # [C, G]
+    valid = log_key < _KEY_INVALID                       # [C*R, G]
+    w = jnp.sum(valid.reshape(C, R, G), axis=1,
+                dtype=jnp.int32)                         # [C, G]
     gbase = jnp.cumsum(w, axis=1) - w                    # exclusive, [C, G]
     counts = gbase[:, -1] + w[:, -1]                     # [C]
     bases = jnp.cumsum(counts) - counts                  # exclusive, [C]
@@ -733,8 +738,8 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
         Exact for any record distribution — this is the drain used whenever
         a channel publishes more than `chan_groups` non-empty groups (e.g.
         single-channel file replay), so the group cap can never drop a
-        record. Slower on TPU at bench scale (gathers over the [C, S] log,
-        ~33M elements) which is why the compacted path below exists.
+        record. Slower on TPU at bench scale (gathers over the ~33M-element
+        log) which is why the compacted path below exists.
         """
         gb_flat = gbase.reshape(-1)
         lo = jnp.zeros_like(j)
@@ -746,7 +751,8 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
             hi = jnp.where(le, hi, mid - 1)
         k_of = lo
         i_of = q - gb_flat[c_of * G + k_of]
-        src = jnp.clip(c_of * S + k_of * R + i_of, 0, C * S - 1)
+        # log rows are (c*R + slot), columns are chunk-groups
+        src = jnp.clip((c_of * R + i_of) * G + k_of, 0, CR * G - 1)
         return (jnp.where(ok_j, log_key.reshape(-1)[src], _KEY_INVALID),
                 log_p.reshape(-1)[src], log_g.reshape(-1)[src])
 
@@ -773,29 +779,33 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
         onehot = ((grank[:, None, :]
                    == jnp.arange(Kg, dtype=jnp.int32)[None, :, None])
                   & ne[:, None, :]).astype(jnp.float32)      # [C, Kg, G]
-        planes = jnp.stack([log_key, log_p, log_g],
-                           axis=-1).reshape(C, G, R * 3)
-        P3 = R * 3
-        bytes_ = jnp.concatenate(
-            [((planes >> 24) & 0xFF).astype(jnp.float32),
-             ((planes >> 16) & 0xFF).astype(jnp.float32),
-             ((planes >> 8) & 0xFF).astype(jnp.float32),
-             (planes & 0xFF).astype(jnp.float32),
-             w[:, :, None].astype(jnp.float32)], axis=2)     # [C, G, 12R+1]
+        # operand layout keeps G minor (the logs are [C*R, G]): pieces are
+        # [C, R, G] free reshapes, concatenated on the middle axis, and the
+        # dot contracts over G — no padded [C, G, R] transposes appear
+        pieces = []
+        for plane in (log_key, log_p, log_g):
+            pt = plane.reshape(C, R, G)
+            for shift in (24, 16, 8, 0):
+                pieces.append(((pt >> shift) & 0xFF).astype(jnp.float32))
+        pieces.append(w[:, None, :].astype(jnp.float32))
+        bytes_ = jnp.concatenate(pieces, axis=1)             # [C, 12R+1, G]
         cg = lax.dot_general(
             onehot, bytes_,
-            (((2,), (1,)), ((0,), (0,))),
+            (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)              # [C, Kg, 12R+1]
         cg = cg.astype(jnp.int32)
-        cg_rec = ((cg[:, :, :P3] << 24) | (cg[:, :, P3:2 * P3] << 16)
-                  | (cg[:, :, 2 * P3:3 * P3] << 8)
-                  | cg[:, :, 3 * P3:4 * P3])
-        cg_rec = cg_rec.reshape(C, Kg, R, 3)
+        # piece p of plane i sits at [ (i*4+p)*R, (i*4+p+1)*R )
+        def _plane(i):
+            b = i * 4 * R
+            return ((cg[:, :, b:b + R] << 24)
+                    | (cg[:, :, b + R:b + 2 * R] << 16)
+                    | (cg[:, :, b + 2 * R:b + 3 * R] << 8)
+                    | cg[:, :, b + 3 * R:b + 4 * R])         # [C, Kg, R]
+        cg_rec = (_plane(0), _plane(1), _plane(2))
         kg_pad = jnp.arange(Kg, dtype=jnp.int32)[None, :] >= \
             jnp.minimum(n_ne, Kg)[:, None]
-        cg_key = jnp.where(kg_pad[:, :, None], _KEY_INVALID,
-                           cg_rec[:, :, :, 0])
-        cg_w = jnp.where(kg_pad, 0, cg[:, :, 4 * P3])        # [C, Kg]
+        cg_key = jnp.where(kg_pad[:, :, None], _KEY_INVALID, cg_rec[0])
+        cg_w = jnp.where(kg_pad, 0, cg[:, :, 12 * R])        # [C, Kg]
 
         # ranks over the compacted groups (totals match the raw ranks:
         # every non-empty group was kept, so bases/q above stay valid)
@@ -812,8 +822,8 @@ def _drain_block(params: DetectorParams, r, log_key, log_p, log_g, eop_log,
         i_of = q - gb_flat[c_of * Kg + k_of]
         src = jnp.clip((c_of * Kg + k_of) * R + i_of, 0, C * Kg * R - 1)
         return (jnp.where(ok_j, cg_key.reshape(-1)[src], _KEY_INVALID),
-                cg_rec[:, :, :, 1].reshape(-1)[src],
-                cg_rec[:, :, :, 2].reshape(-1)[src])
+                cg_rec[1].reshape(-1)[src],
+                cg_rec[2].reshape(-1)[src])
 
     if Kg >= G:
         # cap can't bind and the compaction would be an identity matmul
@@ -1042,8 +1052,13 @@ def _block_scan(params: DetectorParams, regs, iq, n_valid, gen0, t0=0):
         return rr
 
     def emit_ring(carry):
-        """Scan output: this chunk's records + EOP metas; reset the ring."""
-        ys = (_ring_keys(carry, gen0), carry["ring_p"], carry["ring_g"],
+        """Scan output: this chunk's records + EOP metas; reset the ring.
+
+        Record planes are emitted FLAT [C*R] so the stacked log is a 2-D
+        [G, C*R] tensor (large minor dim): the [G, C, R] form's 8-wide
+        minor dim gets 16x tile padding when transposed for the drain."""
+        ys = (_ring_keys(carry, gen0).reshape(-1),
+              carry["ring_p"].reshape(-1), carry["ring_g"].reshape(-1),
               carry["eop_meta"])
         carry["ring_tag"] = jnp.zeros_like(carry["ring_tag"])
         carry["ring_wpos"] = jnp.zeros_like(carry["ring_wpos"])
@@ -1119,11 +1134,12 @@ def _block_scan(params: DetectorParams, regs, iq, n_valid, gen0, t0=0):
 
     regs, (ky, py, gy, ey) = lax.scan(chunk_body, regs, (am_x, phi_x, t_x))
 
-    # stacked scan outputs -> per-region record/EOP logs in temporal order
+    # stacked scan outputs -> record logs as clean 2-D transposes
+    # [G, C*R] -> [C*R, G] (see _drain_block layout note)
     R, E = params.ring, params.eops
-    log_key = jnp.swapaxes(ky, 0, 1).reshape(C, n_chunks * R)
-    log_p = jnp.swapaxes(py, 0, 1).reshape(C, n_chunks * R)
-    log_g = jnp.swapaxes(gy, 0, 1).reshape(C, n_chunks * R)
+    log_key = ky.T
+    log_p = py.T
+    log_g = gy.T
     eop_log = jnp.swapaxes(ey, 0, 1).reshape(C, n_chunks * E, META_FIELDS)
 
     return regs, log_key, log_p, log_g, eop_log, avg_db
@@ -1186,9 +1202,10 @@ def process_block(params: DetectorParams, state, iq, n_valid=None,
     if flush:
         regs, frow = _flush(params, regs, N if n_valid is None else n_valid,
                             gen0)
-        log_key = jnp.concatenate([log_key, frow[0]], axis=1)
-        log_p = jnp.concatenate([log_p, frow[1]], axis=1)
-        log_g = jnp.concatenate([log_g, frow[2]], axis=1)
+        # append the flush ring as one extra chunk-group column
+        log_key = jnp.concatenate([log_key, frow[0].reshape(-1, 1)], axis=1)
+        log_p = jnp.concatenate([log_p, frow[1].reshape(-1, 1)], axis=1)
+        log_g = jnp.concatenate([log_g, frow[2].reshape(-1, 1)], axis=1)
         eop_log = jnp.concatenate([eop_log, frow[3]], axis=1)
 
     # skip the whole publish pass when the block produced no records and

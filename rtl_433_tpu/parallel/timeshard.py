@@ -245,15 +245,22 @@ def timeshard_process_block(params: DetectorParams, mesh: Mesh,
         sel_d = sels[d]                                        # [C]
         delta = deltas[d]                                      # [C]
         final = {k: _take_cand(v, sel_d) for k, v in finals.items()}
-        ky = _take_cand(ky3, sel_d)
-        py = _take_cand(py3, sel_d)
-        gy = _take_cand(gy3, sel_d)
+        # record logs are [3, C*R, G] (ring-major rows): select per
+        # channel via a [3, C, R, G] view
+        R = params.ring
+        ky = _take_cand(ky3.reshape((3, C, R) + ky3.shape[2:]),
+                        sel_d).reshape((C * R,) + ky3.shape[2:])
+        py = _take_cand(py3.reshape((3, C, R) + py3.shape[2:]),
+                        sel_d).reshape((C * R,) + py3.shape[2:])
+        gy = _take_cand(gy3.reshape((3, C, R) + gy3.shape[2:]),
+                        sel_d).reshape((C * R,) + gy3.shape[2:])
         ey = _take_cand(ey3, sel_d)
         avg = _take_cand(avg3, sel_d)
 
         # re-base the write-only generation counter onto the true prefix
         kvalid = ky < _KEY_INVALID
-        ky = jnp.where(kvalid, ky + delta[:, None] * gshift, ky)
+        deltaR = jnp.repeat(delta, R)                          # [C*R]
+        ky = jnp.where(kvalid, ky + deltaR[:, None] * gshift, ky)
         evalid = ey[:, :, M_TYPE] != PKG_NONE
         ey = ey.at[:, :, M_GEN].add(jnp.where(evalid, delta[:, None], 0))
 
@@ -307,9 +314,12 @@ def timeshard_process_block(params: DetectorParams, mesh: Mesh,
         if flush:
             regs, frow = _flush(params, regs,
                                 N if n_valid is None else n_valid, gen0)
-            log_key = jnp.concatenate([log_key, frow[0]], axis=1)
-            log_p = jnp.concatenate([log_p, frow[1]], axis=1)
-            log_g = jnp.concatenate([log_g, frow[2]], axis=1)
+            log_key = jnp.concatenate([log_key, frow[0].reshape(-1, 1)],
+                                      axis=1)
+            log_p = jnp.concatenate([log_p, frow[1].reshape(-1, 1)],
+                                    axis=1)
+            log_g = jnp.concatenate([log_g, frow[2].reshape(-1, 1)],
+                                    axis=1)
             eop_log = jnp.concatenate([eop_log, frow[3]], axis=1)
 
         has_work = jnp.any(log_key < _KEY_INVALID) | \
