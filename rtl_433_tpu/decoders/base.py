@@ -504,31 +504,36 @@ class Registry:
                 # bank's offsets are content-unique per train, so its
                 # grouping (and the emission replay counts) is identical
                 # to the old content grouping there.
-                groups = {}
-                order = []
-                spec_live = spec_col[live].tolist()
-                off_live = summary[live, 1].tolist()
-                for row, i, off in zip(live.tolist(), spec_live, off_live):
-                    if meta["stateful"][i]:
-                        continue  # replayed per occurrence instead
+                ns_m = ~meta["stateful"][spec_col[live]]
+                ns_rows = live[ns_m]
+                ns_spec = spec_col[ns_rows].astype(np.int64)
+                ns_off = summary[ns_rows, 1].astype(np.int64)
+                if group_of is None:
+                    # native arena offsets are content-unique per train
+                    keys = (ns_spec << 40) | ns_off
+                else:
                     # device banks supply content-group representatives
-                    # (computed on device); native arena offsets are
-                    # already content-unique per train
-                    key = (i, off) if group_of is None \
-                        else int(group_of[row])
-                    grp = groups.get(key)
-                    if grp is None:
-                        groups[key] = grp = (off, [])
-                        order.append(key)
-                    grp[1].append(row)
+                    # (computed on device)
+                    keys = group_of[ns_rows].astype(np.int64)
+                # vectorized grouping in first-occurrence order (the old
+                # per-row dict loop dominated drain-scale plan building)
+                uq, inv = np.unique(keys, return_inverse=True)
+                firsts = np.full(uq.size, 1 << 62, np.int64)
+                np.minimum.at(firsts, inv, np.arange(keys.size))
+                g_order = np.argsort(firsts, kind="stable")
+                sort_idx = np.argsort(firsts[inv], kind="stable")
+                counts = np.bincount(inv, minlength=uq.size)
+                splits = np.cumsum(counts[g_order])[:-1]
+                row_groups = np.split(ns_rows[sort_idx], splits)
                 # batch-materialize the MIC-gated representatives (one
                 # device gather for the train, not one per record)
                 pending = []
                 mic_offs = []
-                for key in order:
-                    off, rows = groups[key]
-                    i = int(spec_col[rows[0]])
-                    pending.append((i, off, rows))
+                for gi, rows in zip(g_order.tolist(), row_groups):
+                    f = int(firsts[gi])
+                    i = int(ns_spec[f])
+                    off = int(ns_off[f])
+                    pending.append((i, off, rows.tolist()))
                     if MIC_GATES.get(devs[i].symbol) is not None \
                             and off not in mats:
                         mic_offs.append(off)
@@ -654,7 +659,9 @@ class Registry:
 
             # declarative decoders: collect this priority's cache misses
             # and decode them in ONE batched kernel call (the device
-            # decoder bank, decoders/declarative.py + ops/decode_bank.py)
+            # decoder bank, decoders/declarative.py + ops/decode_bank.py).
+            # Tiny batches stay on the Python decoders — below a handful
+            # of candidates the batched kernel's fixed cost loses.
             decl_syms = _decl_symbols() if self.decl_decode else ()
             decl_batch = []
             for i, off, n_calls, rows in plan["uniq"]:
@@ -670,7 +677,15 @@ class Registry:
                         dec_cache.clear()
                     dec_cache[ckey] = ret
                 _account(dev, ret, n_calls, rows)
-            if decl_batch:
+            if len(decl_batch) < 4:
+                for i, off, n_calls, rows, ckey in decl_batch:
+                    dev = devs[i]
+                    ret = dev.decode_fn(_mat(off).clone(), dev)
+                    if len(dec_cache) >= self.dec_cache_max:
+                        dec_cache.clear()
+                    dec_cache[ckey] = ret
+                    _account(dev, ret, n_calls, rows)
+            elif decl_batch:
                 from .declarative import FALLBACK, get_runner
                 runner = get_runner()
                 outs = runner.decode_many(
