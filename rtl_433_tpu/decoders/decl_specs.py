@@ -1046,3 +1046,277 @@ _spec(DeclSpec(
         F("code", kind="hexs", terms=((0, 1, 0),), val=5),
     )),),
 ))
+
+
+# ---------------------------------------------------------------------------
+# Temperature / rain PPM+PWM batch 5 (round-5 session 2)
+# ---------------------------------------------------------------------------
+
+_spec(DeclSpec(
+    # Acurite-606TX (ref src/devices/acurite.c:1904-1958; acurite.py
+    # acurite_606): 32/33-bit rows x3, LFSR-8 digest gen 0x98 key 0xF1
+    symbol="acurite_606",
+    min_bits=32, max_bits=33, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=32, frame_bits=32, in_bits=296,
+    checks=(Check("lfsr_digest8", off=0, nbytes=3, p1=0x98, p2=0xF1,
+                  cmp_off=24, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(12, 12),        # 1 temperature (signed 12)
+          Raw(10, 2),         # 2 channel
+          Raw(8, 1),          # 3 battery
+          Raw(9, 1),          # 4 button
+          Raw(0, 32)),        # 5 all-zero guard
+    sanity=(San(5, "ne", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Acurite-606TX"),
+        F("id", terms=((0, 1, 0),)),
+        F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((3, 1, 0),), pretty="Battery"),
+        F("button", terms=((4, 1, 0),), pretty="Button"),
+        F("temperature_C", kind="float", terms=((1, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Globaltronics Quigg GT-TMBBQ-05 (ref src/devices/gt_tmbbq05.c;
+    # bbq.py gt_tmbbq05): 33-bit rows x5, frame at bit 1, even parity
+    # over [b0,b1,b2,b3&F0] plus nibble-sum == low nibble of b3
+    symbol="gt_tmbbq05",
+    min_bits=33, max_bits=33, exact_lens=(33,), row_mode="repeat",
+    min_repeats=5, repeat_min_bits=33, align_off=1,
+    frame_bits=32, in_bits=296,
+    checks=(Check("parity_bytes", off=0, nbytes=4, cmp_const=0,
+                  bit_map=tuple(range(28)) + (-1,) * 4),
+            Check("add_nibbles", off=0, nbytes=4, mask=0xF,
+                  cmp_off=28, cmp_width=4,
+                  bit_map=tuple(range(28)) + (-1,) * 4),),
+    raws=(Raw(0, 16,          # 0 id: (b0 << 8) | b2
+              bit_order=tuple(range(0, 8)) + tuple(range(16, 24))),
+          Raw(0, 10,          # 1 temp: ((b3 & C0) << 2) | b1
+              bit_order=(24, 25) + tuple(range(8, 16))),
+          Raw(0, 32)),        # 2 all-zero guard
+    sanity=(San(2, "ne", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="GT-TMBBQ05"),
+        F("id", terms=((0, 1, 0),), pretty="ID Code"),
+        F("temperature_F", kind="float", terms=((1, 1, 0),), add=-90,
+          pretty="Temperature", fmt="%.2f F"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Rubicson 48659 meat thermometer (ref src/devices/rubicson_48659.c;
+    # bbq.py rubicson_48659): (sum(b0..b2) - b3) & FF == A6; a set sign
+    # bit yields temperature -1.0 (reference operator-precedence quirk)
+    symbol="rubicson_48659",
+    min_bits=10, max_bits=33, row_mode="repeat", min_repeats=10,
+    repeat_min_bits=32, frame_bits=32, in_bits=296,
+    checks=(Check("add_bytes", off=0, nbytes=3, cmp_off=24, cmp_width=8,
+                  add_const=-0xA6),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(13, 1),         # 1 sign-bit quirk (b1 & 0x04)
+          Raw(14, 10)),       # 2 temperature: ((b1 & 3) << 8) | b2
+    variants=(
+        Variant(cond=San(1, "eq", 1), fields=(
+            F("model", "const", value="Rubicson-48659"),
+            F("id", terms=((0, 1, 0),), pretty="Id"),
+            F("temperature_F", "const", value=-1.0,
+              pretty="Temperature", fmt="%.1f F"),
+            F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+        )),
+        Variant(fields=(
+            F("model", "const", value="Rubicson-48659"),
+            F("id", terms=((0, 1, 0),), pretty="Id"),
+            F("temperature_F", kind="float", terms=((2, 1, 0),),
+              pretty="Temperature", fmt="%.1f F"),
+            F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+        )),
+    ),
+))
+
+
+_spec(DeclSpec(
+    # Baldr / RainPoint rain gauge (ref src/devices/baldr_rain.c;
+    # meters.py baldr_rain): 36-bit rows x3, no MIC, all-0/all-F guards
+    # over bytes 0/2/3
+    symbol="baldr_rain",
+    min_bits=36, max_bits=37, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=36, frame_bits=40, in_bits=296,
+    raws=(Raw(0, 12),         # 0 id
+          Raw(12, 4),         # 1 flags
+          Raw(16, 20),        # 2 rain
+          # 3: b0|b2|b3 combined guard
+          Raw(0, 24, bit_order=tuple(range(0, 8)) + tuple(range(16, 32)))),
+    sanity=(San(3, "ne", 0x000000),
+            San(3, "ne", 0xFFFFFF),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Baldr-Rain"),
+        F("id", terms=((0, 1, 0),), pretty="", fmt="%03x"),
+        F("flags", terms=((1, 1, 0),), pretty="Flags", fmt="%x"),
+        F("rain_in", kind="float", terms=((2, 1, 0),), mul=0.001,
+          pretty="Rain", fmt="%.3f in"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Baldr-E0666TH (ref src/devices/baldr_therm.c; temperature.py
+    # baldr_therm): 64-bit rows x8, fixed-zero guard fields, no MIC
+    symbol="baldr_therm",
+    min_bits=64, max_bits=65, row_mode="repeat", min_repeats=8,
+    repeat_min_bits=64, frame_bits=64, in_bits=296,
+    raws=(Raw(0, 16,          # 0 id: (b0 << 8) | b7
+              bit_order=tuple(range(0, 8)) + tuple(range(56, 64))),
+          Raw(10, 2),         # 1 channel
+          Raw(8, 1),          # 2 battery
+          Raw(12, 12),        # 3 temperature (signed 12)
+          Raw(28, 8),         # 4 humidity: ((b3 << 4) | (b4 >> 4)) & FF
+          Raw(52, 1),         # 5 startup (b6 & 0x08)
+          Raw(9, 1),          # 6 guard (b1 & 0x40)
+          Raw(24, 4),         # 7 guard (b3 & 0xF0)
+          Raw(36, 4),         # 8 guard (b4 & 0x0F)
+          Raw(40, 8),         # 9 guard b5
+          Raw(0, 7,           # 10 guard (b6 & 0xF7)
+              bit_order=(48, 49, 50, 51, 53, 54, 55))),
+    sanity=(San(6, "eq", 0), San(7, "eq", 0xF), San(8, "eq", 0),
+            San(9, "eq", 0), San(10, "eq", 0)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Baldr-E0666TH"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", kind="bool", terms=((2, 1, 0),),
+          pretty="Battery"),
+        F("temperature_C", kind="float", terms=((3, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", terms=((4, 1, 0),), pretty="Humidity", fmt="%u %%"),
+        F("startup", kind="bool", terms=((5, 1, 0),), pretty="Startup"),
+    )),),
+))
+
+
+def _single_row_guard(bits):
+    if bits.num_rows != 1:
+        return DECODE_ABORT_LENGTH
+    return None
+
+
+_spec(DeclSpec(
+    # Gasmate-BA1008 meat thermometer (ref src/devices/gasmate_ba1008.c;
+    # bbq.py gasmate_ba1008): single 32-bit row, nibble sum == 0x0C,
+    # sign-magnitude BCD temperature
+    symbol="gasmate_ba1008",
+    min_bits=32, max_bits=32, exact_lens=(32,), row_mode="row0",
+    host_guard=_single_row_guard, frame_bits=32, in_bits=64,
+    checks=(Check("add_nibbles", off=0, nbytes=4, mask=0xF,
+                  cmp_const=0x0C),),
+    raws=(Raw(0, 5),          # 0 preamble guard (b0 & 0xF8) >> 3
+          Raw(5, 1),          # 1 sign
+          Raw(6, 2),          # 2 hundreds
+          Raw(8, 4),          # 3 tens (BCD)
+          Raw(12, 4),         # 4 ones (BCD)
+          Raw(16, 12)),       # 5 unknown_1
+    sanity=(San(0, "eq", 0x1E),),
+    variants=(
+        Variant(cond=San(1, "eq", 1), fields=(
+            F("model", "const", value="Gasmate-BA1008"),
+            F("temperature_C",
+              terms=((2, -100, 0), (3, -10, 0), (4, -1, 0)),
+              pretty="Temperature_C", fmt="%d C"),
+            F("unknown_1", terms=((5, 1, 0),), pretty="Unknown Value",
+              fmt="%03x"),
+            F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+        )),
+        Variant(fields=(
+            F("model", "const", value="Gasmate-BA1008"),
+            F("temperature_C",
+              terms=((2, 100, 0), (3, 10, 0), (4, 1, 0)),
+              pretty="Temperature_C", fmt="%d C"),
+            F("unknown_1", terms=((5, 1, 0),), pretty="Unknown Value",
+              fmt="%03x"),
+            F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+        )),
+    ),
+))
+
+
+_spec(DeclSpec(
+    # Auriol 4-LD5661 rain gauge (ref src/devices/auriol_4ld5661.c;
+    # meters.py auriol_4ld5661): any 52-bit row, b3 == F0 and
+    # (b1 & 0x40) == 0 gates, first decodable row wins
+    symbol="auriol_4ld5661",
+    min_bits=52, max_bits=52, exact_lens=(52,), row_mode="any",
+    frame_bits=56, in_bits=296,
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 1),          # 1 battery
+          Raw(12, 12),        # 2 temperature (signed 12)
+          Raw(32, 20),        # 3 rain
+          Raw(24, 8),         # 4 guard b3
+          Raw(9, 1)),         # 5 guard (b1 & 0x40)
+    sanity=(San(4, "eq", 0xF0), San(5, "eq", 0)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Auriol-4LD5661", pretty="Model"),
+        F("id", terms=((0, 1, 0),), pretty="ID", fmt="%02x"),
+        F("battery_ok", terms=((1, 1, 0),), pretty="Battery OK"),
+        F("temperature_C", kind="float", terms=((2, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("rain_mm", kind="float", terms=((3, 1, 0),),
+          pretty="Rain", fmt="%.1f mm"),
+        F("rain", terms=((3, 1, 0),), pretty="Rain tips"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Florabest-FBTH1 (ref src/devices/florabest.c; temperature.py
+    # florabest): 30-bit rows x3, odd parity over the 30 bits
+    symbol="florabest",
+    min_bits=30, max_bits=30, exact_lens=(30,), row_mode="repeat",
+    min_repeats=3, repeat_min_bits=30, frame_bits=32, in_bits=296,
+    checks=(Check("parity_bytes", off=0, nbytes=4, cmp_const=1,
+                  bit_map=tuple(range(30)) + (-1,) * 2),),
+    raws=(Raw(0, 16),         # 0 id
+          Raw(0, 8),          # 1 b0 guard
+          Raw(16, 13)),       # 2 temp: (b2 << 5) | (b3 >> 3)
+    sanity=(San(1, "eq", 0x49),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Florabest-FBTH1"),
+        F("id", terms=((0, 1, 0),), pretty="Id", fmt="%04x"),
+        F("temperature_F", kind="fsum", terms=((2, 0.1),), add=-90.0,
+          pretty="Temperature", fmt="%.1f F"),
+        F("mic", "const", value="PARITY", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # LaCrosse-TX34IT rain gauge (ref src/devices/lacrosse_tx34.c;
+    # lacrosse.py lacrosse_tx34): a2dd4 20-bit preamble, crc8(0x31) over
+    # 4 bytes, type nibble 5, events for EVERY matching row
+    symbol="lacrosse_tx34",
+    min_bits=24, row_mode="all",
+    preamble="10100010110111010100",          # a2dd4
+    need_bits=40, frame_bits=40, in_bits=512,
+    checks=(Check("crc8", off=0, nbytes=4, p1=0x31, p2=0x00,
+                  cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 4),          # 0 type nibble
+          Raw(4, 6),          # 1 id
+          Raw(11, 1),         # 2 battery low
+          Raw(10, 1),         # 3 new battery
+          Raw(16, 16)),       # 4 rain ticks
+    sanity=(San(0, "eq", 5),),
+    variants=(Variant(fields=(
+        F("model", "const", value="LaCrosse-TX34IT"),
+        F("id", terms=((1, 1, 0),)),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("newbattery", terms=((3, 1, 0),), pretty="New battery"),
+        F("rain_mm", kind="float", terms=((4, 1, 0),), mul=0.222,
+          pretty="Total rain", fmt="%.1f mm"),
+        F("rain_raw", terms=((4, 1, 0),), pretty="Raw rain"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
