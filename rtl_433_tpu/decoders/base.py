@@ -660,8 +660,12 @@ class Registry:
             # declarative decoders: collect this priority's cache misses
             # and decode them in ONE batched kernel call (the device
             # decoder bank, decoders/declarative.py + ops/decode_bank.py).
-            # Tiny batches stay on the Python decoders — below a handful
-            # of candidates the batched kernel's fixed cost loses.
+            # The runner is the ONLY code source for declarative symbols:
+            # routing tiny batches to the Python decoders made the
+            # failure-code accounting depend on whether the cache was
+            # prewarmed (device path) or not (host path), breaking
+            # device-vs-host stats parity. The numpy backend skips slots
+            # unused by a batch, so a 1-candidate call costs microseconds.
             decl_syms = _decl_symbols() if self.decl_decode else ()
             decl_batch = []
             for i, off, n_calls, rows in plan["uniq"]:
@@ -677,15 +681,7 @@ class Registry:
                         dec_cache.clear()
                     dec_cache[ckey] = ret
                 _account(dev, ret, n_calls, rows)
-            if len(decl_batch) < 4:
-                for i, off, n_calls, rows, ckey in decl_batch:
-                    dev = devs[i]
-                    ret = dev.decode_fn(_mat(off).clone(), dev)
-                    if len(dec_cache) >= self.dec_cache_max:
-                        dec_cache.clear()
-                    dec_cache[ckey] = ret
-                    _account(dev, ret, n_calls, rows)
-            elif decl_batch:
+            if decl_batch:
                 from .declarative import FALLBACK, get_runner
                 runner = get_runner()
                 outs = runner.decode_many(

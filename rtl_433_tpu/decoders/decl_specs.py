@@ -7,7 +7,7 @@ decoders/declarative.py for the IR and ops/decode_bank.py for the kernel.
 """
 
 from .declarative import (Check, DeclSpec, F, Raw, San, Variant, _spec)
-from .base import DECODE_ABORT_EARLY
+from .base import DECODE_ABORT_EARLY, DECODE_ABORT_LENGTH
 
 
 _spec(DeclSpec(
@@ -1319,4 +1319,934 @@ _spec(DeclSpec(
         F("rain_raw", terms=((4, 1, 0),), pretty="Raw rain"),
         F("mic", "const", value="CRC", pretty="Integrity"),
     )),),
+))
+
+
+# ---------------------------------------------------------------------------
+# Inverted-buffer + repeated-prefix batch (round-5 session 2)
+# ---------------------------------------------------------------------------
+
+_spec(DeclSpec(
+    # Bresser-3CH (ref src/devices/bresser_3ch.c:37-93; temperature.py
+    # bresser_3ch): inverted 40-bit rows x3, sum(b0..b3) == b4,
+    # float-exact temperature range gates
+    symbol="bresser_3ch",
+    min_bits=40, max_bits=42, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=40, transform="invert", frame_bits=40, in_bits=296,
+    checks=(Check("add_bytes", off=0, nbytes=4, cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 1),          # 1 battery low
+          Raw(10, 2),         # 2 channel
+          Raw(12, 12),        # 3 temperature raw
+          Raw(24, 8)),        # 4 humidity
+    sanity=(San(2, "ne", 0),
+            San(4, "le", 100),
+            San(3, "ge", -20.0, addi=-900, fmul=0.1),
+            San(3, "le", 160.0, addi=-900, fmul=0.1)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Bresser-3CH"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("channel", terms=((2, 1, 0),), pretty="Channel"),
+        F("battery_ok", terms=((1, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_F", kind="float", terms=((3, 1, 0),), add=-900,
+          mul=0.1, pretty="Temperature", fmt="%.2f F"),
+        F("humidity", terms=((4, 1, 0),), pretty="Humidity", fmt="%u %%"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+def _tfa_3221_rows(bits):
+    # data-dependent repeat count (ref src/devices/tfa_30_3221.c:52-60)
+    row = bits.find_repeated_row(4 if bits.num_rows > 4 else 2, 40)
+    if row < 0:
+        return DECODE_ABORT_EARLY
+    return [row]
+
+
+_spec(DeclSpec(
+    # TFA-303221 (ref src/devices/tfa_30_3221.c; temperature.py
+    # tfa_30_3221): inverted rows, reflected LFSR-8 gen 0x31 key 0xF4
+    symbol="tfa_30_3221",
+    min_bits=40, max_bits=41, row_mode="any", host_guard=_tfa_3221_rows,
+    transform="invert", frame_bits=40, in_bits=296,
+    checks=(Check("lfsr_digest8_reflect", off=0, nbytes=4, p1=0x31,
+                  p2=0xF4, cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(10, 2),         # 1 channel
+          Raw(8, 1),          # 2 battery low
+          Raw(12, 12),        # 3 temperature raw
+          Raw(24, 8),         # 4 humidity
+          Raw(9, 1)),         # 5 sendmode
+    sanity=(San(0, "ne", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="TFA-303221"),
+        F("id", terms=((0, 1, 0),), pretty="Sensor ID"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((3, 1, 0),), add=-500,
+          mul=0.1, pretty="Temperature", fmt="%.2f C"),
+        F("humidity", terms=((4, 1, 0),), pretty="Humidity", fmt="%u %%"),
+        F("sendmode", terms=((5, 1, 0),), pretty="Test mode"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _hg02832_guard(bits):
+    # exactly a 1-bit preamble row + a 40-bit data row
+    # (ref src/devices/auriol_hg02832.c:47-56)
+    if bits.num_rows != 2:
+        return DECODE_ABORT_EARLY
+    if bits.bits_per_row[0] != 1 or bits.bits_per_row[1] != 40:
+        return DECODE_ABORT_LENGTH
+    return [1]
+
+
+def _xor4_crc8_bits(p1, p2):
+    # crc8 of the single byte b0^b1^b2^b3: the unit-bit digest table
+    # fans out to all four frame bytes (GF(2)-linear in each)
+    from ..bits import util as _bu
+    zero = int(_bu.crc8(bytes(1), 1, p1, p2))
+    out = []
+    for k in range(8):
+        w = int(_bu.crc8(bytes([0x80 >> k]), 1, p1, p2)) ^ zero
+        for byte in range(4):
+            out.append((byte * 8 + k, w))
+    return tuple(out)
+
+
+_spec(DeclSpec(
+    # Auriol-HG02832 (ref src/devices/auriol_hg02832.c; temperature.py
+    # auriol_hg02832): inverted, crc8(b0^b1^b2^b3) == b4 via xor_bits
+    symbol="auriol_hg02832",
+    min_bits=40, max_bits=40, exact_lens=(40,), row_mode="any",
+    host_guard=_hg02832_guard, transform="invert",
+    frame_bits=40, in_bits=64,
+    checks=(Check("crc8", off=0, nbytes=1, p1=0x31, p2=0x53,
+                  bit_map=(-1,) * 8, xor_bits=_xor4_crc8_bits(0x31, 0x53),
+                  cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(18, 2),         # 1 channel
+          Raw(16, 1),         # 2 battery low
+          Raw(20, 12),        # 3 temperature (signed 12)
+          Raw(8, 8),          # 4 humidity
+          Raw(17, 1)),        # 5 button
+    variants=(Variant(fields=(
+        F("model", "const", value="Auriol-HG02832"),
+        F("id", terms=((0, 1, 0),)),
+        F("channel", terms=((1, 1, 0),), add=1),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((3, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", kind="float", terms=((4, 1, 0),),
+          pretty="Humidity", fmt="%.0f %%"),
+        F("button", terms=((5, 1, 0),), pretty="Button"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # EMOS-E6016R rain gauge (ref src/devices/emos_e6016_rain.c;
+    # meters.py emos_e6016_rain): 55 5A 75 preamble read pre-invert
+    # (post-invert AA A5 8A), checksum over inverted bytes
+    symbol="emos_e6016_rain",
+    min_bits=72, max_bits=73, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=72, transform="invert", frame_bits=72, in_bits=296,
+    checks=(Check("add_bytes", off=0, nbytes=8, cmp_off=64, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 sync AA
+          Raw(8, 8),          # 1 sync A5
+          Raw(16, 8),         # 2 sync 8A
+          Raw(24, 8),         # 3 id
+          Raw(32, 2),         # 4 battery (b4 >> 6)
+          Raw(52, 12)),       # 5 rain raw
+    sanity=(San(0, "eq", 0xAA), San(1, "eq", 0xA5), San(2, "eq", 0x8A)),
+    variants=(Variant(fields=(
+        F("model", "const", value="EMOS-E6016R"),
+        F("id", terms=((3, 1, 0),), pretty="House Code"),
+        F("battery_ok", kind="bool", terms=((4, 1, 0),),
+          pretty="Battery_OK"),
+        F("rain_mm", kind="float", terms=((5, 1, 0),), mul=0.7,
+          pretty="Rain_mm", fmt="%.1f mm"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Rubicson-48942 pool thermometer (ref src/devices/
+    # rubicson_pool_48942.c; temperature.py rubicson_pool_48942):
+    # inverted 41-bit rows x2, crc8(0x31) over 4 bytes
+    symbol="rubicson_pool_48942",
+    min_bits=41, max_bits=41, exact_lens=(41,), row_mode="repeat",
+    min_repeats=2, repeat_min_bits=41, transform="invert",
+    frame_bits=48, in_bits=296,
+    checks=(Check("crc8", off=0, nbytes=4, p1=0x31, p2=0x00,
+                  cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 4),          # 0 channel
+          Raw(4, 10),         # 1 id
+          Raw(16, 1),         # 2 battery low
+          Raw(17, 11),        # 3 temperature raw
+          Raw(28, 4),         # 4 guard (b3 & 0x0F)
+          Raw(40, 8),         # 5 guard b5
+          # 6: b0|b2|b4 zero guard
+          Raw(0, 24, bit_order=tuple(range(0, 8)) + tuple(range(16, 24))
+              + tuple(range(32, 40)))),
+    sanity=(San(4, "eq", 0), San(5, "eq", 0), San(6, "ne", 0)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Rubicson-48942"),
+        F("channel", terms=((0, 1, 0),), add=1, pretty="Channel"),
+        F("id", terms=((1, 1, 0),), pretty="Random ID"),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((3, 1, 0),), add=-1024,
+          mul=0.1, pretty="Temperature", fmt="%.1f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _vauno_rows(bits):
+    # repeated 42-bit prefix x4 (ref src/devices/vauno_en8822c.c:60-70)
+    row = bits.find_repeated_prefix(4, 42)
+    if row < 0:
+        return DECODE_ABORT_EARLY
+    return [row]
+
+
+_spec(DeclSpec(
+    # Vauno-EN8822C (ref src/devices/vauno_en8822c.c; temperature.py
+    # vauno_en8822c): 6-bit nibble-sum check across a byte boundary
+    symbol="vauno_en8822c",
+    min_bits=42, row_mode="any", host_guard=_vauno_rows,
+    frame_bits=48, in_bits=296,
+    checks=(Check("add_nibbles", off=0, nbytes=6, mask=0x3F,
+                  cmp_off=36, cmp_width=6,
+                  bit_map=tuple(range(36)) + (-1,) * 12),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(10, 2),         # 1 channel
+          Raw(35, 1),         # 2 battery low (b4 & 0x10)
+          Raw(12, 12),        # 3 temperature (signed 12)
+          Raw(24, 7),         # 4 humidity (b3 >> 1)
+          Raw(0, 32),         # 5 nonzero guard lo
+          Raw(32, 4)),        # 6 nonzero guard hi
+    sanity=((San(5, "ne", 0), San(6, "ne", 0)),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Vauno-EN8822C"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((3, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", terms=((4, 1, 0),), pretty="Humidity", fmt="%u %%"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+def _schou_rows(bits):
+    # (ref src/devices/schou_72543_rain.c:47-58)
+    if bits.num_rows < 2:
+        return DECODE_ABORT_LENGTH
+    row = bits.find_repeated_prefix(2, 64)
+    if row < 0:
+        return DECODE_ABORT_EARLY
+    return [row]
+
+
+_spec(DeclSpec(
+    # Schou 72543 Day rain gauge (ref src/devices/schou_72543_rain.c;
+    # meters.py schou_72543_rain): LE temp/rain words, byte checksum
+    symbol="schou_72543_rain",
+    min_bits=64, row_mode="any", host_guard=_schou_rows,
+    frame_bits=64, in_bits=296,
+    checks=(Check("add_bytes", off=0, nbytes=7, cmp_off=56, cmp_width=8),),
+    raws=(Raw(0, 16),         # 0 id
+          Raw(0, 16,          # 1 temp: (b6 << 8) | b5
+              bit_order=tuple(range(48, 56)) + tuple(range(40, 48))),
+          Raw(0, 16,          # 2 rain: (b4 << 8) | b3
+              bit_order=tuple(range(32, 40)) + tuple(range(24, 32))),
+          Raw(16, 1),         # 3 battery low
+          Raw(20, 3),         # 4 msg counter
+          Raw(17, 1),         # 5 msg repeat
+          Raw(0, 32),         # 6 nonzero guard lo
+          Raw(32, 24)),       # 7 nonzero guard hi
+    sanity=((San(6, "ne", 0), San(7, "ne", 0)),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Schou-72543"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("temperature_F", kind="float", terms=((1, 1, 0),), add=-900,
+          mul=0.1, pretty="Temperature", fmt="%.1f F"),
+        F("rain_mm", kind="float", terms=((2, 1, 0),), mul=0.1,
+          pretty="Rain", fmt="%.1f mm"),
+        F("battery_ok", terms=((3, -1, 0),), add=1, pretty="Battery_ok"),
+        F("msg_counter", terms=((4, 1, 0),), pretty="Counter"),
+        F("msg_repeat", kind="bool", terms=((5, 1, 0),),
+          pretty="Msg_repeat"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Inovalley KW9015B rain/temperature (ref src/devices/
+    # inovalley-kw9015b.c; meters.py kw9015b): all fields read through
+    # reverse8; nibble-sum check over reflected bytes, expected nibble at
+    # DESCENDING frame positions via sub_bits
+    symbol="kw9015b",
+    min_bits=36, max_bits=36, row_mode="repeat", min_repeats=3,
+    repeat_min_bits=36, frame_bits=40, in_bits=296,
+    checks=(Check("add_nibbles", off=0, nbytes=4, mask=0xF, reflect=True,
+                  cmp_const=0, sub_bits=((35, 8), (34, 4), (33, 2),
+                                         (32, 1))),),
+    raws=(Raw(0, 4, bit_order=(3, 2, 1, 0)),   # 0 id (r0 & 0x0F)
+          Raw(8, 1),                           # 1 battery (b1 >> 7)
+          Raw(0, 12, bit_order=(23, 22, 21, 20, 19, 18, 17, 16,
+                                15, 14, 13, 12)),  # 2 temp (signed 12)
+          Raw(0, 12, bit_order=(7, 6, 10, 9, 31, 30, 29, 28,
+                                27, 26, 25, 24))),  # 3 rain
+    variants=(Variant(fields=(
+        F("model", "const", value="Inovalley-kw9015b"),
+        F("id", terms=((0, 1, 0),)),
+        F("battery_ok", terms=((1, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((2, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("rain", terms=((3, 1, 0),), pretty="Rain Count"),
+        F("rain_mm", kind="float", terms=((3, 1, 0),), mul=0.45,
+          pretty="Rain total", fmt="%.1f mm"),
+    )),),
+))
+
+
+def _wec2103_guard(bits):
+    # six rows, the 42-bit third gates, the fourth decodes
+    # (ref src/devices/wec2103.c:56-64)
+    if bits.num_rows != 6 or bits.bits_per_row[2] != 42:
+        return DECODE_ABORT_LENGTH
+    return [3]
+
+
+_spec(DeclSpec(
+    # WEC-2103 (ref src/devices/wec2103.c; temperature.py wec2103):
+    # CRC-4 over a nibble-shuffled message, result xored with b4 >> 4
+    symbol="wec2103",
+    min_bits=0, row_mode="any", host_guard=_wec2103_guard,
+    frame_bits=40, in_bits=296,
+    checks=(Check("crc4", off=0, nbytes=4, p1=0x3, p2=0x0,
+                  bit_map=tuple(range(0, 8))
+                  + (36, 37, 38, 39, 12, 13, 14, 15)
+                  + tuple(range(16, 32)),
+                  xor_bits=((32, 8), (33, 4), (34, 2), (35, 1)),
+                  cmp_off=8, cmp_width=4),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(36, 4),         # 1 channel
+          Raw(12, 1),         # 2 button (b1 & 0x08)
+          Raw(16, 12),        # 3 temperature raw
+          Raw(28, 4),         # 4 humidity tens
+          Raw(32, 4),         # 5 humidity ones
+          Raw(12, 4)),        # 6 flags
+    variants=(Variant(fields=(
+        F("model", "const", value="WEC-2103"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("channel", terms=((1, 1, 0),), pretty="Channel"),
+        F("battery_ok", "const", value=1, pretty="Battery"),
+        F("button", terms=((2, 1, 0),), pretty="Button"),
+        F("temperature_F", kind="float", terms=((3, 1, 0),), add=-900,
+          mul=0.1, pretty="Temperature", fmt="%.2f F"),
+        F("humidity", terms=((4, 10, 0), (5, 1, 0)), pretty="Humidity",
+          fmt="%u %%"),
+        F("flags", terms=((6, 1, 0),), pretty="Flags"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+# ---------------------------------------------------------------------------
+# FSK PCM preamble-framed batch (round-5 session 2)
+# ---------------------------------------------------------------------------
+
+_spec(DeclSpec(
+    # Fineoffset-WH55 water leak (ref src/devices/fineoffset_wh55.c;
+    # fineoffset3.py fineoffset_wh55): aa2dd455 sync, frame back at
+    # match+24 (the 55 byte is frame byte 0), crc8(0x31) over 9 == 0
+    symbol="fineoffset_wh55",
+    min_bits=0, row_mode="row0", host_guard=_single_row_guard,
+    preamble="10101010001011011101010001010101",   # aa2dd455
+    align_off=-8, need_bits=72, frame_bits=96, in_bits=512,
+    checks=(Check("crc8", off=0, nbytes=9, p1=0x31, p2=0x00,
+                  cmp_const=0),),
+    raws=(Raw(16, 16),        # 0 id
+          Raw(8, 4),          # 1 channel
+          Raw(32, 8),         # 2 battery raw
+          Raw(40, 16),        # 3 raw value
+          Raw(56, 1),         # 4 sensitivity
+          Raw(57, 1)),        # 5 alarm
+    variants=(Variant(fields=(
+        F("model", "const", value="Fineoffset-WH55"),
+        F("id", terms=((0, 1, 0),), pretty="ID", fmt="%05X"),
+        F("channel", terms=((1, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", kind="float", terms=((2, 1, 0),), mul=0.2,
+          pretty="Battery level"),
+        F("raw_value", terms=((3, 1, 0),), pretty="Raw Value"),
+        F("sensitivity", terms=((4, 1, 0),), pretty="Sensitivity"),
+        F("alarm", terms=((5, 1, 0),), pretty="Alarm"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # TFA-Marbella pool thermometer (ref src/devices/tfa_marbella.c;
+    # temperature.py tfa_marbella): frame INCLUDES the aa2dd4 sync
+    # (fields at msg[3..10]), reflected LFSR over msg[3:10]
+    symbol="tfa_marbella",
+    min_bits=0, row_mode="row0",
+    preamble="101010100010110111010100",           # aa2dd4
+    align_off=-24, frame_bits=88, in_bits=512,
+    checks=(Check("lfsr_digest8_reflect", off=24, nbytes=7, p1=0x31,
+                  p2=0x31, cmp_off=80, cmp_width=8),),
+    raws=(Raw(24, 24),        # 0 serial
+          Raw(52, 3),         # 1 counter ((msg6 >> 1) & 7)
+          Raw(48, 1),         # 2 battery low (msg6 >> 7)
+          Raw(56, 12),        # 3 temperature raw
+          Raw(72, 8)),        # 4 msg9 guard (== AA)
+    sanity=(San(4, "eq", 0xAA),),
+    variants=(Variant(fields=(
+        F("model", "const", value="TFA-Marbella"),
+        F("id", kind="hexs", terms=((0, 1, 0),), val=6),
+        F("counter", terms=((1, 1, 0),)),
+        F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((3, 1, 0),), add=-400,
+          mul=0.1, pretty="Temperature", fmt="%.1f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Mueller-HotRod water meter (ref src/devices/mueller_hotrod.c;
+    # meters.py mueller_hotrod): feb100 sync, crc8(0x07) ^ 0x55 == b8,
+    # 7-digit BCD volume
+    symbol="mueller_hotrod",
+    min_bits=96, row_mode="row0", host_guard=_single_row_guard,
+    preamble="111111101011000100000000",           # feb100
+    need_bits=49, frame_bits=72, in_bits=512,
+    checks=(Check("crc8", off=0, nbytes=8, p1=0x07, p2=0x00,
+                  xor_out=0x55, cmp_off=64, cmp_width=8),),
+    raws=(Raw(0, 32),         # 0 id bytes
+          Raw(32, 4),         # 1 BCD digit 1e6
+          Raw(36, 4),         # 2 1e5
+          Raw(40, 4),         # 3 1e4
+          Raw(44, 4),         # 4 1e3
+          Raw(48, 4),         # 5 1e2
+          Raw(52, 4),         # 6 1e1
+          Raw(56, 4),         # 7 1e0 (x10 in the sum)
+          Raw(60, 4)),        # 8 flag
+    variants=(Variant(fields=(
+        F("model", "const", value="Mueller-HotRod"),
+        F("id", kind="hexs", terms=((0, 1, 0),), val=8),
+        F("volume_gal",
+          terms=((1, 1000000, 0), (2, 100000, 0), (3, 10000, 0),
+                 (4, 1000, 0), (5, 100, 0), (6, 10, 0), (7, 1, 0)),
+          pretty="Volume", fmt="%u gal"),
+        F("flag", terms=((8, 1, 0),), pretty="Flag", fmt="%x"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Quinetic switches (ref src/devices/quinetic.c; misc): a423 sync,
+    # CRC-16/CCITT-FALSE over 5 bytes == 0, channel 192 = release
+    symbol="quinetic",
+    min_bits=110, max_bits=140, row_mode="row0",
+    preamble="1010010000100011",                   # a423
+    frame_bits=40, in_bits=296,
+    checks=(Check("crc16", off=0, nbytes=5, p1=0x1021, p2=0x1D0F,
+                  cmp_const=0),),
+    raws=(Raw(0, 16),         # 0 id
+          Raw(16, 8)),        # 1 channel
+    sanity=(San(1, "ne", 192),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Quinetic", pretty="Model"),
+        F("id", terms=((0, 1, 0),), pretty="ID", fmt="%04x"),
+        F("channel", terms=((1, 1, 0),), pretty="Channel"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Eco-Eye PV/grid current monitor (ref src/devices/ecoeye.c;
+    # energy.py ecoeye): aa2dd4 sync, byte-sum checksum
+    symbol="ecoeye",
+    min_bits=0, row_mode="row0", host_guard=_single_row_guard,
+    preamble="101010100010110111010100",           # aa2dd4
+    need_bits=40, frame_bits=40, in_bits=512,
+    checks=(Check("add_bytes", off=0, nbytes=4, cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 16),         # 0 PV current
+          Raw(16, 16)),       # 1 used current
+    variants=(Variant(fields=(
+        F("model", "const", value="EcoEye"),
+        F("current_used_A", kind="float", terms=((1, 1, 0),), mul=0.01,
+          pretty="Used", fmt="%.2f A"),
+        F("current_pv_A", kind="float", terms=((0, 1, 0),), mul=0.01,
+          pretty="PV", fmt="%.2f A"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # McPower-Kinetic switch (ref src/devices/mcpower_kinetic.c; misc):
+    # aaaa sync, CRC-16/CCITT init AA55 == trailing word
+    symbol="mcpower_kinetic",
+    min_bits=0, row_mode="row0", host_guard=_single_row_guard,
+    preamble="1010101010101010",                   # aaaa
+    need_bits=48, frame_bits=48, in_bits=512,
+    checks=(Check("crc16", off=0, nbytes=4, p1=0x1021, p2=0xAA55,
+                  cmp_off=32, cmp_width=16),),
+    raws=(Raw(0, 16),         # 0 id
+          Raw(17, 1),         # 1 left button
+          Raw(18, 1),         # 2 right button
+          Raw(20, 4),         # 3 counter
+          Raw(24, 8)),        # 4 flags
+    variants=(Variant(fields=(
+        F("model", "const", value="McPower-Kinetic"),
+        F("id", terms=((0, 1, 0),), pretty="", fmt="%04x"),
+        F("button_left", terms=((1, 1, 0),), pretty="Left button"),
+        F("button_right", terms=((2, 1, 0),), pretty="Right button"),
+        F("counter", terms=((3, 1, 0),), pretty="Counter"),
+        F("flags", terms=((4, 1, 0),), pretty="Flags", fmt="%02x"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # WG-PB12V1 temperature (ref src/devices/wg_pb12v1.c;
+    # temperature.py wg_pb12v1): FF sync byte, crc8(0x31) over b1..b4
+    symbol="wg_pb12v1",
+    min_bits=48, row_mode="row0", frame_bits=48, in_bits=296,
+    checks=(Check("crc8", off=8, nbytes=4, p1=0x31, p2=0x00,
+                  cmp_off=40, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 sync (== FF)
+          Raw(8, 4),          # 1 type nibble (== 3)
+          Raw(27, 5),         # 2 id
+          Raw(12, 12),        # 3 temperature raw
+          Raw(32, 8)),        # 4 b4 guard (== FF)
+    sanity=(San(0, "eq", 0xFF), San(1, "eq", 0x3), San(4, "eq", 0xFF)),
+    variants=(Variant(fields=(
+        F("model", "const", value="WG-PB12V1"),
+        F("id", terms=((2, 1, 0),), pretty="ID"),
+        F("temperature_C", kind="float", terms=((3, 1, 0),), add=-400,
+          mul=0.1, pretty="Temperature", fmt="%.1f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Chuango-Security x1527 (ref src/devices/chuango.c; misc_a.py
+    # chuango): first 3 bytes inverted in place; bit 24 reads inverted
+    # under the whole-row invert, so its gate flips to eq 0
+    symbol="chuango",
+    min_bits=25, max_bits=25, exact_lens=(25,), row_mode="row0",
+    transform="invert", frame_bits=32, in_bits=64,
+    raws=(Raw(0, 20),         # 0 id
+          Raw(20, 4),         # 1 cmd
+          Raw(24, 1),         # 2 (b3 & 0x80), inverted
+          Raw(0, 20)),        # 3 zero guard (b0|b1|b2&F0)
+    sanity=(San(2, "eq", 0), San(3, "ne", 0)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Chuango-Security"),
+        F("id", terms=((0, 1, 0),), pretty="ID"),
+        F("cmd", kind="enum", terms=((1, 1, 0),), default="",
+          map={0xF: "?", 0xE: "?", 0xD: "Low Battery", 0xC: "Closing",
+               0xB: "24H Zone", 0xA: "Single Delay Zone", 0x9: "?",
+               0x8: "Arm", 0x7: "Normal Zone", 0x6: "Home Mode Zone",
+               0x5: "On", 0x4: "Home Mode", 0x3: "Tamper", 0x2: "Alarm",
+               0x1: "Disarm", 0x0: "Test"},
+          pretty="CMD"),
+        F("cmd_id", terms=((1, 1, 0),), pretty="CMD_ID"),
+    )),),
+))
+
+
+# ---------------------------------------------------------------------------
+# Remotes / security + probed-GF(2) batch (round-5 session 2)
+# ---------------------------------------------------------------------------
+
+def _nibblefold_xor_bits(nbits):
+    # contribution of frame bit f to the nibble-folded byte XOR
+    # (s >> 4) ^ (s & 0xF): weight 8 >> (f % 4)
+    return tuple((f, 8 >> (f % 4)) for f in range(nbits))
+
+
+_spec(DeclSpec(
+    # Visonic Powercode (ref src/devices/visonic_powercode.c;
+    # garage.py visonic_powercode): 37-bit rows x2, frame at bit 1,
+    # nibble-folded XOR LRC == 0
+    symbol="visonic_powercode",
+    min_bits=37, max_bits=37, exact_lens=(37,), row_mode="repeat",
+    min_repeats=2, repeat_min_bits=37, align_off=1,
+    frame_bits=40, in_bits=296,
+    checks=(Check("xor_bytes", off=0, nbytes=1, mask=0xF,
+                  bit_map=(-1,) * 8, xor_bits=_nibblefold_xor_bits(40),
+                  cmp_const=0),),
+    raws=(Raw(0, 24),         # 0 id
+          Raw(24, 1),         # 1 tamper
+          Raw(25, 1),         # 2 alarm
+          Raw(26, 1),         # 3 battery low
+          Raw(27, 1),         # 4 else
+          Raw(28, 1),         # 5 restore
+          Raw(29, 1),         # 6 supervised
+          Raw(30, 1),         # 7 spidernet
+          Raw(31, 1),         # 8 repeater
+          Raw(0, 32),         # 9 nonzero guard lo
+          Raw(32, 8)),        # 10 nonzero guard hi
+    sanity=((San(9, "ne", 0), San(10, "ne", 0)),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Visonic-Powercode", pretty="Model"),
+        F("id", kind="hexs", terms=((0, 1, 0),), val=6, pretty="ID"),
+        F("tamper", terms=((1, 1, 0),), pretty="Tamper"),
+        F("alarm", terms=((2, 1, 0),), pretty="Alarm"),
+        F("battery_ok", terms=((3, -1, 0),), add=1, pretty="Battery"),
+        F("else", terms=((4, 1, 0),), pretty="Else"),
+        F("restore", terms=((5, 1, 0),), pretty="Restore"),
+        F("supervised", terms=((6, 1, 0),), pretty="Supervised"),
+        F("spidernet", terms=((7, 1, 0),), pretty="Spidernet"),
+        F("repeater", terms=((8, 1, 0),), pretty="Repeater"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Honda car key (ref src/devices/hondaremote.c; car_remotes.py
+    # hondaremote): 385-394 bit rows, FF guards, cmd byte - 0xAA
+    symbol="hondaremote",
+    min_bits=385, max_bits=394, row_mode="any",
+    frame_bits=376, in_bits=512,
+    raws=(Raw(0, 8),          # 0 b0 guard
+          Raw(304, 8),        # 1 b38 guard
+          Raw(352, 16),       # 2 id
+          Raw(368, 8)),       # 3 cmd byte
+    sanity=(San(0, "eq", 0xFF), San(1, "eq", 0xFF)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Honda-CarRemote"),
+        F("id", terms=((2, 1, 0),)),
+        F("code", kind="enum", terms=((3, 1, 0),), add=-0xAA,
+          map={0: "boot", 1: "unlock", 2: "lock"}, default="unknown"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Generic-Remote SC226x/EV1527 (ref src/devices/generic_remote.c:
+    # 17-63; remotes.py generic_remote): 25-bit rows, first 3 bytes
+    # inverted, tristate code rendering
+    symbol="generic_remote",
+    min_bits=25, max_bits=25, exact_lens=(25,), row_mode="row0",
+    transform="invert", frame_bits=32, in_bits=64,
+    raws=(Raw(0, 16),         # 0 id (house code)
+          Raw(16, 8),         # 1 cmd
+          Raw(24, 1),         # 2 raw bit 24 (inverted here)
+          Raw(0, 24)),        # 3 tristate source
+    sanity=(San(2, "eq", 0), San(0, "ne", 0), San(1, "ne", 0)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Generic-Remote"),
+        F("id", terms=((0, 1, 0),), pretty="House Code"),
+        F("cmd", terms=((1, 1, 0),), pretty="Command"),
+        F("tristate", kind="tri", terms=((3, 1, 0),), value="0ZX1",
+          val=12, pretty="Tri-State"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Dickert MAHS433-01 garage remote (ref src/devices/dickert_mahs.c;
+    # gates.py dickert_pwm): 37-bit single row, frame at bit 1, two
+    # trinary switch banks
+    symbol="dickert_pwm",
+    min_bits=37, max_bits=37, exact_lens=(37,), row_mode="row0",
+    host_guard=_single_row_guard, align_off=1, frame_bits=36, in_bits=64,
+    raws=(Raw(0, 20),         # 0 id / dip source
+          Raw(20, 16)),       # 1 fac source
+    variants=(Variant(fields=(
+        F("model", "const", value="Dickert-MAHS433"),
+        F("id", terms=((0, 1, 0),), pretty=""),
+        F("dipswitch", kind="tri", terms=((0, 1, 0),), value="-0?+",
+          val=10, pretty="DIP switches"),
+        F("facswitch", kind="tri", terms=((1, 1, 0),), value="-0?+",
+          val=8, pretty="Factory code"),
+    )),),
+))
+
+
+def _markisol_rows(bits):
+    # first row with 41/42 bits (ref src/devices/markisol.c:96-103)
+    for i in range(bits.num_rows):
+        if bits.bits_per_row[i] in (41, 42):
+            return [i]
+    return DECODE_ABORT_EARLY
+
+
+_spec(DeclSpec(
+    # Markisol / E-Motion / BOFU curtain remote (ref src/devices/
+    # markisol.c; remotes3.py markisol): bytes re-read at bit 1,
+    # reverse8'd and inverted; sum(buf) == 1 folds to a reflected
+    # byte-sum == 250 over the raw window
+    symbol="markisol",
+    min_bits=41, max_bits=42, row_mode="any", host_guard=_markisol_rows,
+    frame_bits=48, in_bits=296,
+    checks=(Check("add_bytes", off=0, nbytes=5, reflect=True,
+                  bit_map=tuple(range(1, 41)), cmp_const=250),),
+    raws=(Raw(0, 16,          # 0 id source (reversed window, un-inverted)
+              bit_order=(8, 7, 6, 5, 4, 3, 2, 1,
+                         16, 15, 14, 13, 12, 11, 10, 9)),
+          Raw(0, 4, bit_order=(24, 23, 29, 21)),   # 1 control source
+          Raw(0, 4, bit_order=(20, 19, 18, 17)),   # 2 channel source
+          Raw(22, 1),         # 3 zone bit (buf2 & 0x20)
+          Raw(32, 1)),        # 4 zone bit (buf3 & 0x80)
+    variants=(Variant(fields=(
+        F("model", "const", value="Markisol", pretty="Model"),
+        F("id", terms=((0, -1, 0),), add=0xFFFF, pretty="", fmt="%04X"),
+        F("control", kind="enum", terms=((1, -1, 0),), add=15,
+          map={0: "Limit (0)", 1: "Down (1)", 2: "? (2)",
+               3: "H-Down (3)", 4: "Confirm (4)", 5: "Stop (5)",
+               6: "? (6)", 7: "? (7)", 8: "? (8)", 9: "? (9)",
+               10: "? (10)", 11: "? (11)", 12: "Up (12)",
+               13: "Limit (13)", 14: "H-Up (14)", 15: "? (15)"},
+          pretty="Control"),
+        F("channel", terms=((2, -1, 0),), add=15, pretty="Channel"),
+        F("zone", terms=((3, -1, 0), (4, -2, 0)), add=4, pretty="Zone"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+def _audiovox_buttons():
+    names = ["Lock", "Unlock", "Option", "Trunk"]
+    return {v: "; ".join(names[i] for i in range(4) if v & (1 << i))
+            for v in range(1, 16)}
+
+
+_spec(DeclSpec(
+    # Audiovox-PROOE3B car remote (ref src/devices/audiovox_pro_oe3b.c;
+    # car_remotes.py audiovox_pro_oe3b): raw-b2 gates, then id/buttons
+    # from inverted bytes
+    symbol="audiovox_pro_oe3b",
+    min_bits=25, max_bits=25, exact_lens=(25,), row_mode="row0",
+    host_guard=_single_row_guard, frame_bits=32, in_bits=64,
+    raws=(Raw(0, 4, bit_order=(16, 18, 20, 22)),  # 0 b2 & 0xAA packed
+          Raw(16, 8),                             # 1 b2
+          Raw(0, 16),                             # 2 id source
+          Raw(0, 4, bit_order=(17, 19, 21, 23))), # 3 buttons source
+    sanity=(San(0, "eq", 0), San(1, "ne", 0x55),
+            San(2, "ne", 0xFFFF), San(2, "ne", 0), San(3, "ne", 15)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Audiovox-PROOE3B", pretty="model"),
+        F("id", kind="hexsu", terms=((2, -1, 0),), add=0xFFFF, val=4,
+          pretty="ID"),
+        F("button_str", kind="enum", terms=((3, -1, 0),), add=15,
+          map=_audiovox_buttons(), pretty="Button"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Universal 24V fan controller (ref src/devices/universalfanctrl.c;
+    # remotes4.py universalfanctrl): nibble-folded XOR == 0xA
+    symbol="universalfanctrl",
+    min_bits=33, row_mode="repeat", min_repeats=3, repeat_min_bits=33,
+    frame_bits=40, in_bits=296,
+    checks=(Check("xor_bytes", off=0, nbytes=1, mask=0xF,
+                  bit_map=(-1,) * 8, xor_bits=_nibblefold_xor_bits(32),
+                  cmp_const=0xA),),
+    raws=(Raw(32, 1),         # 0 guard (b4 & 0x80)
+          Raw(0, 20),         # 1 transmitter id
+          Raw(20, 5),         # 2 button code
+          Raw(25, 3)),        # 3 rolling counter
+    sanity=(San(0, "eq", 1),),
+    variants=(Variant(fields=(
+        F("model", "const", value="UniFan-24V"),
+        F("id", terms=((1, 1, 0),), pretty="Transmitter ID"),
+        F("button", kind="enum", terms=((2, 1, 0),), default="Unknown",
+          map={0x19: "All Off", 0x17: "Light On/Off", 0x1B: "Forward",
+               0x0A: "Fan", 0x0E: "Reverse", 0x09: "Fan Off",
+               0x0F: "Speed 1", 0x0D: "Speed 2", 0x03: "Speed 3",
+               0x15: "Speed 4", 0x10: "Speed 5", 0x13: "speed 6",
+               0x1D: "1H", 0x16: "2H", 0x06: "3H"},
+          pretty="Button"),
+        F("button_code", terms=((2, 1, 0),), pretty="Button Code"),
+        F("counter", terms=((3, 1, 0),), pretty="Rolling Counter"),
+        F("mic", "const", value="CHECKSUM", pretty=""),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # TFA Twin Plus 30.3049 / Conrad KW9010 (ref src/devices/
+    # tfa_twin_plus_30.3049.c; temperature.py tfa_twin_plus_303049):
+    # reversed-byte nibble sum, 9-bit offset-512 temperature
+    symbol="tfa_twin_plus_303049",
+    min_bits=36, max_bits=36, exact_lens=(36,), row_mode="repeat",
+    min_repeats=2, repeat_min_bits=36, frame_bits=40, in_bits=296,
+    checks=(Check("add_nibbles", off=0, nbytes=4, mask=0xF, reflect=True,
+                  cmp_const=0, sub_bits=((35, 8), (34, 4), (33, 2),
+                                         (32, 1))),),
+    raws=(Raw(0, 6, bit_order=(7, 6, 3, 2, 1, 0)),   # 0 id
+          Raw(4, 2),          # 1 channel
+          Raw(8, 1),          # 2 battery low
+          Raw(0, 9,           # 3 temperature
+              bit_order=(20, 19, 18, 17, 16, 15, 14, 13, 12)),
+          Raw(21, 3),         # 4 negative sign (b2 & 7)
+          Raw(0, 7,           # 5 humidity (rb3 & 0x7F)
+              bit_order=(30, 29, 28, 27, 26, 25, 24)),
+          Raw(0, 32),         # 6 nonzero guard lo
+          Raw(32, 8)),        # 7 nonzero guard hi
+    sanity=((San(6, "ne", 0), San(7, "ne", 0)),),
+    variants=(
+        Variant(cond=San(4, "ne", 0), fields=(
+            F("model", "const", value="TFA-TwinPlus"),
+            F("id", terms=((0, 1, 0),), pretty="Id"),
+            F("channel", terms=((1, 1, 0),), pretty="Channel"),
+            F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+            F("temperature_C", kind="float", terms=((3, 1, 0),),
+              add=-512, mul=0.1, pretty="Temperature", fmt="%.1f C"),
+            F("humidity", terms=((5, 1, 0),), add=-28, pretty="Humidity",
+              fmt="%u %%"),
+            F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+        )),
+        Variant(fields=(
+            F("model", "const", value="TFA-TwinPlus"),
+            F("id", terms=((0, 1, 0),), pretty="Id"),
+            F("channel", terms=((1, 1, 0),), pretty="Channel"),
+            F("battery_ok", terms=((2, -1, 0),), add=1, pretty="Battery"),
+            F("temperature_C", kind="float", terms=((3, 1, 0),),
+              mul=0.1, pretty="Temperature", fmt="%.1f C"),
+            F("humidity", terms=((5, 1, 0),), add=-28, pretty="Humidity",
+              fmt="%u %%"),
+            F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+        )),
+    ),
+))
+
+
+def _gt_wt_03_rows(bits):
+    # (ref src/devices/gt_wt_03.c:118-125)
+    row = 0
+    if bits.num_rows > 1:
+        row = bits.find_repeated_row(bits.num_rows // 2 + 1, 41)
+    if row < 0:
+        return DECODE_ABORT_LENGTH
+    return [row]
+
+
+def _rollbyte_bits(gen, nbits):
+    # decoders/home2.py _chk_rollbyte: window bit f contributes
+    # (gen >> (f % 8)) & 0xFF — a rolling-key byte XOR, GF(2)-linear
+    return tuple((f, (gen >> (f % 8)) & 0xFF) for f in range(nbits))
+
+
+_spec(DeclSpec(
+    # Globaltronics GT-WT-03 (ref src/devices/gt_wt_03.c; home2.py
+    # gt_wt_03): inverted rows, rolling-byte checksum gen 0x3100 ^ 0x2D,
+    # humidity sentinels 10/110, float-exact temperature range
+    symbol="gt_wt_03",
+    min_bits=41, max_bits=41, exact_lens=(41,), row_mode="any",
+    host_guard=_gt_wt_03_rows, transform="invert",
+    frame_bits=48, in_bits=296,
+    checks=(Check("xor_bytes", off=0, nbytes=1, bit_map=(-1,) * 8,
+                  xor_bits=_rollbyte_bits(0x3100, 32), xor_out=0x2D,
+                  cmp_off=32, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 id
+          Raw(8, 8),          # 1 humidity raw
+          Raw(18, 2),         # 2 channel
+          Raw(16, 1),         # 3 battery low
+          Raw(20, 12),        # 4 temperature (signed 12)
+          Raw(17, 1),         # 5 button
+          Raw(0, 32),         # 6 nonzero guard lo
+          Raw(32, 8)),        # 7 nonzero guard hi
+    sanity=((San(6, "ne", 0), San(7, "ne", 0)),
+            San(4, "gt", -50.2, signed_bits=12, fmul=0.1),
+            San(4, "lt", 70.2, signed_bits=12, fmul=0.1),
+            (San(1, "eq", 10), San(1, "eq", 110), San(1, "ge", 20)),
+            (San(1, "eq", 10), San(1, "eq", 110), San(1, "le", 95))),
+    variants=(Variant(fields=(
+        F("model", "const", value="GT-WT03"),
+        F("id", terms=((0, 1, 0),), pretty="ID Code"),
+        F("channel", terms=((2, 1, 0),), add=1, pretty="Channel"),
+        F("battery_ok", terms=((3, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((4, 1, 12),), mul=0.1,
+          pretty="Temperature", fmt="%.1f C"),
+        F("humidity", kind="mapf", terms=((1, 1, 0),),
+          map={10: 0, 110: 100}, pretty="Humidity", fmt="%.0f %%"),
+        F("button", terms=((5, 1, 0),), pretty="Button"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _aft77_rows(bits):
+    # first row with exactly 68 bits (ref src/devices/auriol_aft77b2.c)
+    for r in range(bits.num_rows):
+        if bits.bits_per_row[r] == 68:
+            return [r]
+    return DECODE_ABORT_EARLY
+
+
+def _aft77_lsrc_bits():
+    # probe decoders/misc_d.py _aft77_lsrc (reflected Galois LFSR,
+    # gen 0x83 key 0xEC) on unit-bit messages; window = frame bits 4..51
+    from .misc_d import _aft77_lsrc
+    zero = _aft77_lsrc([0] * 6, 6)
+    out = []
+    for k in range(48):
+        msg = [0] * 6
+        msg[k >> 3] = 0x80 >> (k & 7)
+        out.append((4 + k, _aft77_lsrc(msg, 6) ^ zero))
+    return zero, tuple(out)
+
+
+_AFT77_ZERO, _AFT77_BITS = _aft77_lsrc_bits()
+
+_spec(DeclSpec(
+    # Auriol AFT 77 B2 (ref src/devices/auriol_aft77b2.c; misc_d.py
+    # auriol_aft77b2): A5 sync, nibble-shifted frame (bits 4..67),
+    # byte-sum + probed reflected-LFSR checks, sign-magnitude BCD temp
+    symbol="auriol_aft77b2",
+    min_bits=68, max_bits=68, exact_lens=(68,), row_mode="any",
+    host_guard=_aft77_rows, frame_bits=68, in_bits=296,
+    checks=(Check("add_bytes", off=0, nbytes=6,
+                  bit_map=tuple(range(4, 52)), cmp_off=52, cmp_width=8),
+            Check("xor_bytes", off=0, nbytes=1, bit_map=(-1,) * 8,
+                  xor_bits=_AFT77_BITS, xor_out=_AFT77_ZERO,
+                  cmp_off=60, cmp_width=8),),
+    raws=(Raw(0, 8),          # 0 sync (== A5)
+          Raw(12, 8),         # 1 id (frame[1])
+          Raw(28, 1),         # 2 sign (ptr3 & 0x08)
+          Raw(32, 4),         # 3 BCD hundreds
+          Raw(36, 4),         # 4 BCD tens
+          Raw(40, 4)),        # 5 BCD ones
+    sanity=(San(0, "eq", 0xA5),),
+    variants=(
+        Variant(cond=San(2, "eq", 1), fields=(
+            F("model", "const", value="Auriol-AFT77B2"),
+            F("id", terms=((1, 1, 0),), pretty=""),
+            F("temperature_C", kind="float",
+              terms=((3, -100, 0), (4, -10, 0), (5, -1, 0)), mul=0.1,
+              pretty="Temperature", fmt="%.2f C"),
+            F("mic", "const", value="CRC", pretty="Integrity"),
+        )),
+        Variant(fields=(
+            F("model", "const", value="Auriol-AFT77B2"),
+            F("id", terms=((1, 1, 0),), pretty=""),
+            F("temperature_C", kind="float",
+              terms=((3, 100, 0), (4, 10, 0), (5, 1, 0)), mul=0.1,
+              pretty="Temperature", fmt="%.2f C"),
+            F("mic", "const", value="CRC", pretty="Integrity"),
+        )),
+    ),
 ))

@@ -56,6 +56,9 @@ class Check:
     # extra (frame_bit, weight) GF(2) contributions XORed into the compare
     # (e.g. an expected value that is itself a xor of two fields)
     xor_bits: Tuple[Tuple[int, int], ...] = ()
+    # extra (frame_bit, weight) contributions SUBTRACTED from an additive
+    # sum (expected values at descending/scrambled bit positions)
+    sub_bits: Tuple[Tuple[int, int], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -81,8 +84,9 @@ class San:
     # F-style terms replace `raw` when set (combined-value sanity)
     terms: Tuple = ()
     shr: int = 0
-    # replicate float range checks exactly: compare float(v * fmul)
+    # replicate float range checks exactly: compare float((v+addi) * fmul)
     fmul: Optional[float] = None
+    addi: int = 0
 
 
 @dataclass(frozen=True)
@@ -172,7 +176,8 @@ def _lower(spec: DeclSpec) -> dbk.LoweredSpec:
                 c.algo, c.off, c.nbytes, mask=c.mask, cmp_off=c.cmp_off,
                 cmp_width=c.cmp_width, cmp_const=c.cmp_const,
                 reflect=c.reflect, negated=c.negated, frame_bits=fb,
-                add_const=c.add_const, bit_map=c.bit_map)
+                add_const=c.add_const, bit_map=c.bit_map,
+                sub_bits=c.sub_bits)
             add.append((_pad(w, fb), mod, tc, neq))
         else:
             tab, tc, neq = dbk.make_gf2_check(
@@ -250,9 +255,13 @@ class DeclRunner:
     def _rows_for(self, spec: DeclSpec, bits) -> object:
         """Row indices the spec inspects, or a direct int ret code."""
         if spec.host_guard is not None:
-            # returns None (continue), an int code (abort), or an explicit
-            # row list (custom row selection, e.g. repeated-prefix modes)
+            # returns None (continue), an int code (abort), an explicit
+            # row list (custom row selection, e.g. repeated-prefix
+            # modes), or FALLBACK (a shape only the Python twin handles,
+            # e.g. fineoffset_WH0530's Alecto length variants)
             g = spec.host_guard(bits)
+            if g is FALLBACK:
+                return g
             if isinstance(g, (int, list)):
                 return g
         if spec.row_mode == "repeat":
@@ -297,6 +306,9 @@ class DeclRunner:
             si = self.by_symbol[symbol]
             spec = self.specs[si]
             rows = self._rows_for(spec, bits)
+            if rows is FALLBACK:
+                rets[ix] = FALLBACK
+                continue
             if isinstance(rows, int):
                 rets[ix] = rows
                 continue
@@ -360,7 +372,7 @@ class DeclRunner:
             if s.signed_bits:
                 v = _sex(v, s.signed_bits)
         if s.fmul is not None:
-            v = float(v * s.fmul)
+            v = float((v + s.addi) * s.fmul)
         return _OPS[s.op](v, s.val)
 
     def _format(self, spec: DeclSpec, raw: np.ndarray):
@@ -425,6 +437,12 @@ class DeclRunner:
             return float(f.map.get(int(acc), f.default) * f.mul)
         if f.kind == "hexs":   # zero-padded lowercase hex string, f.val
             return format(int(acc), "0%dx" % f.val)  # = digit count
+        if f.kind == "hexsu":  # uppercase variant
+            return format(int(acc), "0%dX" % f.val)
+        if f.kind == "tri":    # f.val base-4 digits via alphabet f.value
+            v = int(acc)
+            return "".join(f.value[(v >> (2 * (f.val - 1 - i))) & 3]
+                           for i in range(f.val))
         raise ValueError(f.kind)
 
 

@@ -272,16 +272,21 @@ def make_add_check(algo: str, off: int, nbytes: int,
                    cmp_width: int = 0, cmp_const: int = 0,
                    reflect: bool = False, negated: bool = False,
                    frame_bits: int = 0, add_const: int = 0,
-                   bit_map: Optional[Sequence[int]] = None):
+                   bit_map: Optional[Sequence[int]] = None,
+                   sub_bits: Sequence = ()):
     """Lower one additive check: passes iff
-    ``(sum + add_const) mod (mask+1) == expected``. mask must be 2^k-1."""
+    ``(sum + add_const) mod (mask+1) == expected``. mask must be 2^k-1.
+    ``sub_bits`` are extra (frame_bit, weight) contributions SUBTRACTED
+    from the sum — expected values at descending/scrambled bit positions
+    fold in this way."""
     m = 0xFF if mask is None else mask
     mod = m + 1
     assert mod & (mod - 1) == 0, "additive masks must be 2^k - 1"
     w8 = _add_weights(algo, nbytes, reflect)
     fb = max([frame_bits, off + nbytes * 8,
               (cmp_off + cmp_width) if cmp_off >= 0 else 0]
-             + [b + 1 for b in (bit_map or ()) if b >= 0])
+             + [b + 1 for b in (bit_map or ()) if b >= 0]
+             + [b + 1 for b, _w in sub_bits])
     w = np.zeros(fb, np.int64)
     if bit_map is not None:
         assert len(bit_map) == nbytes * 8
@@ -297,6 +302,8 @@ def make_add_check(algo: str, off: int, nbytes: int,
         target = (-add_const) % mod
     else:
         target = (cmp_const - add_const) % mod
+    for b, wgt in sub_bits:
+        w[b] -= wgt
     return w.astype(np.int32), mod, target, negated
 
 
@@ -391,17 +398,22 @@ def run(bank: CompiledBank, bits, n_bits, sid, xp=np, n_store=None):
     ok_need = frame_off + need <= n
 
     # ---- frame extraction (stale stored bits past the row length are
-    # READ, like the reference's extract_bytes; zero past the storage)
+    # READ, like the reference's extract_bytes; zero past the storage
+    # and before bit 0 — negative len_aligns hang phantom-0 bits in
+    # front, e.g. ts_ft002's 71-bit realignment)
     j = xp.arange(FB, dtype=xp.int32)[None, :]
     src = frame_off[:, None] + j                             # [B, FB]
-    inb = src < ns[:, None]
-    fb = xp.take_along_axis(bits, xp.minimum(src, IN - 1), axis=1)
+    inb = (src >= 0) & (src < ns[:, None])
+    fb = xp.take_along_axis(bits, xp.clip(src, 0, IN - 1), axis=1)
     fb = xp.where(inb, fb, 0).astype(xp.uint8)
 
     # ---- transforms
     tf = i32(bank.transform)[sid]
     if xp is not np or bool(np.any(np.asarray(tf) == TF_INVERT)):
-        fb = xp.where((tf == TF_INVERT)[:, None] & inb, fb ^ 1, fb)
+        # bitbuffer_invert flips only bits < bits_per_row; padding and
+        # stale stored bits keep their value (ref src/bitbuffer.c:135-149)
+        fb = xp.where((tf == TF_INVERT)[:, None] & (src < n[:, None]),
+                      fb ^ 1, fb)
     ok_tf = xp.ones((B,), dtype=bool)
     if int(np.any(np.asarray(bank.transform) == TF_MANCHESTER)) and (
             xp is not np or bool(np.any(np.asarray(tf) == TF_MANCHESTER))):
