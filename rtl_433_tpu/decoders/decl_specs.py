@@ -2250,3 +2250,233 @@ _spec(DeclSpec(
         )),
     ),
 ))
+
+
+# ---------------------------------------------------------------------------
+# TPMS / meters / MC + guard-FALLBACK batch (round-5 session 2)
+# ---------------------------------------------------------------------------
+
+from .declarative import FALLBACK  # noqa: E402
+
+
+_spec(DeclSpec(
+    # ERT-SCM utility meter (ref src/devices/ert_scm.c; energy.py
+    # ert_scm): 96-bit row, CRC-16 poly 0x6F63 over bytes 2..11 == 0
+    symbol="ert_scm",
+    min_bits=96, max_bits=96, exact_lens=(96,), row_mode="row0",
+    frame_bits=96, in_bits=296,
+    checks=(Check("crc16", off=16, nbytes=10, p1=0x6F63, p2=0x0000,
+                  cmp_const=0),),
+    raws=(Raw(0, 32),         # 0 zero guard
+          Raw(0, 26,          # 1 ert id: (b2 & 6) << 23 | b7..b9
+              bit_order=(21, 22) + tuple(range(56, 80))),
+          Raw(24, 2),         # 2 physical tamper
+          Raw(26, 4),         # 3 ert type
+          Raw(30, 2),         # 4 encoder tamper
+          Raw(32, 24)),       # 5 consumption
+    sanity=(San(0, "ne", 0),),
+    variants=(Variant(fields=(
+        F("model", "const", value="ERT-SCM"),
+        F("id", terms=((1, 1, 0),), pretty="Id"),
+        F("physical_tamper", terms=((2, 1, 0),), pretty="Physical Tamper"),
+        F("ert_type", terms=((3, 1, 0),), pretty="ERT Type"),
+        F("encoder_tamper", terms=((4, 1, 0),), pretty="Encoder Tamper"),
+        F("consumption_data", terms=((5, 1, 0),),
+          pretty="Consumption Data"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Schrader TPMS (ref src/devices/schraeder.c:45-100; car_remotes.py
+    # schraeder): 68-bit row, frame at bit 4, CRC-8 0x07 init 0xF0
+    symbol="schraeder",
+    min_bits=68, max_bits=68, exact_lens=(68,), row_mode="row0",
+    align_off=4, frame_bits=64, in_bits=296,
+    checks=(Check("crc8", off=0, nbytes=7, p1=0x07, p2=0xF0,
+                  cmp_off=56, cmp_width=8),),
+    raws=(Raw(4, 8),          # 0 flags
+          Raw(12, 28),        # 1 serial
+          Raw(40, 8),         # 2 pressure raw
+          Raw(48, 8)),        # 3 temperature raw
+    variants=(Variant(fields=(
+        F("model", "const", value="Schrader"),
+        F("type", "const", value="TPMS"),
+        F("flags", kind="hexs", terms=((0, 1, 0),), val=2),
+        F("id", kind="hexsu", terms=((1, 1, 0),), val=7, pretty="ID"),
+        F("pressure_kPa", kind="float", terms=((2, 25, 0),), mul=0.1,
+          pretty="Pressure", fmt="%.1f kPa"),
+        F("temperature_C", kind="float", terms=((3, 1, 0),), add=-50,
+          pretty="Temperature", fmt="%.0f C"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # Schrader-EG53MA4 (ref src/devices/schraeder.c:120-170;
+    # car_remotes.py schrader_EG53MA4): 120-bit row, frame at bit 40
+    symbol="schrader_EG53MA4",
+    min_bits=120, max_bits=120, exact_lens=(120,), row_mode="row0",
+    align_off=40, frame_bits=80, in_bits=296,
+    checks=(Check("add_bytes", off=0, nbytes=9, cmp_off=72, cmp_width=8),),
+    raws=(Raw(0, 32),         # 0 flags
+          Raw(32, 24),        # 1 serial
+          Raw(56, 8),         # 2 pressure raw
+          Raw(64, 8),         # 3 temperature raw
+          # 4/5: b1|b2|b4 and b5|b7|b8 zero guards
+          Raw(0, 24, bit_order=tuple(range(8, 24)) + tuple(range(32, 40))),
+          Raw(0, 24, bit_order=tuple(range(40, 48)) + tuple(range(56, 72)))),
+    sanity=((San(4, "ne", 0), San(5, "ne", 0)),),
+    variants=(Variant(fields=(
+        F("model", "const", value="Schrader-EG53MA4"),
+        F("type", "const", value="TPMS"),
+        F("flags", kind="hexs", terms=((0, 1, 0),), val=8),
+        F("id", kind="hexsu", terms=((1, 1, 0),), val=6, pretty="ID"),
+        F("pressure_kPa", kind="float", terms=((2, 25, 0),), mul=0.1,
+          pretty="Pressure", fmt="%.1f kPa"),
+        F("temperature_F", kind="float", terms=((3, 1, 0),),
+          pretty="Temperature", fmt="%.1f F"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
+
+
+def _max_one_row_guard(bits):
+    if bits.num_rows > 1:
+        return DECODE_ABORT_EARLY
+    return None
+
+
+_spec(DeclSpec(
+    # Honda keyfob KR5V2X/1X (ref src/devices/continental_car_remote.c:
+    # 174; car_remotes.py honda_keyfob): ec0f62 sync matched on its
+    # first 16 bits' frame (frame at match+16), crc8 poly 0x2F
+    symbol="honda_keyfob",
+    min_bits=150, max_bits=184, row_mode="row0",
+    host_guard=_max_one_row_guard,
+    preamble="111011000000111101100010",          # ec0f62
+    align_off=-8, need_bits=120, frame_bits=120, in_bits=296,
+    checks=(Check("crc8", off=0, nbytes=14, p1=0x2F, p2=0x00,
+                  cmp_off=112, cmp_width=8),),
+    raws=(Raw(16, 32),        # 0 device id
+          Raw(48, 8),         # 1 event byte
+          Raw(56, 24),        # 2 counter
+          Raw(80, 32)),       # 3 code (signed 32)
+    variants=(Variant(fields=(
+        F("model", "const", value="Honda-KR5V2X1X", pretty="model"),
+        F("id", terms=((0, 1, 0),), pretty="Device ID", fmt="%08x"),
+        F("event", kind="enum", terms=((1, 1, 0),), default="?",
+          map={0x21: "Lock", 0x22: "Unlock", 0x24: "Trunk",
+               0x27: "Emergency", 0x2D: "RemoteStart"}, pretty="Event"),
+        F("counter", terms=((2, 1, 0),), pretty="Counter", fmt="%06x"),
+        F("code", terms=((3, 1, 32),), pretty="Code", fmt="%08x"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+_spec(DeclSpec(
+    # 2GIG-KEY2E-345 keyfob (ref src/devices/twogig_key2e.c; misc
+    # twogig_key2e): 555556 sync, Manchester, CRC-16 0x8005 init 0x4C57
+    symbol="twogig_key2e",
+    min_bits=96, row_mode="row0", host_guard=_single_row_guard,
+    preamble="010101010101010101010110",          # 555556
+    need_bits=1, transform="manchester", mc_min=72,
+    frame_bits=144, in_bits=512,
+    checks=(Check("crc16", off=0, nbytes=7, p1=0x8005, p2=0x4C57,
+                  cmp_off=56, cmp_width=16),),
+    raws=(Raw(0, 32),         # 0 encrypted id
+          Raw(32, 8),         # 1 type byte (== 0x25)
+          Raw(40, 16)),       # 2 encrypted status
+    sanity=(San(1, "eq", 0x25),),
+    variants=(Variant(fields=(
+        F("model", "const", value="TwoGig-KEY2E345"),
+        F("encrypted_id", kind="hexs", terms=((0, 1, 0),), val=8,
+          pretty="Encrypted ID"),
+        F("encrypted_status", kind="hexs", terms=((2, 1, 0),), val=4,
+          pretty="Encrypted Status"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _wh0530_guard(bits):
+    # the 63/95-bit Alecto WS-1200 variants keep their Python decode
+    # paths (ref src/devices/fineoffset.c:1087-1138)
+    if bits.bits_per_row[0] in (63, 95):
+        return FALLBACK
+    return None
+
+
+_spec(DeclSpec(
+    # Fineoffset WH0530 (ref src/devices/fineoffset.c:1087-1138;
+    # fineoffset.py fineoffset_WH0530): 71-bit row, 7-bit 7F + 011
+    # sync gates, frame at bit 7 kept in-frame (checks at offset 7)
+    symbol="fineoffset_WH0530",
+    min_bits=71, max_bits=71, exact_lens=(71,), row_mode="row0",
+    host_guard=_wh0530_guard, frame_bits=71, in_bits=296,
+    checks=(Check("crc8", off=7, nbytes=7, p1=0x31, p2=0x00,
+                  cmp_const=0),
+            Check("add_bytes", off=7, nbytes=7, cmp_off=63, cmp_width=8),),
+    raws=(Raw(0, 7),          # 0 sync (== 7F)
+          Raw(8, 3),          # 1 sync2 (== 011)
+          Raw(11, 8),         # 2 id
+          Raw(19, 1),         # 3 battery low
+          Raw(20, 11),        # 4 temperature raw
+          Raw(0, 16,          # 5 rain: (b4 << 8) | b3
+              bit_order=tuple(range(39, 47)) + tuple(range(31, 39)))),
+    sanity=(San(0, "eq", 0x7F), San(1, "eq", 0x3)),
+    variants=(Variant(fields=(
+        F("model", "const", value="Fineoffset-WH0530"),
+        F("id", terms=((2, 1, 0),), pretty="ID"),
+        F("battery_ok", terms=((3, -1, 0),), add=1, pretty="Battery"),
+        F("temperature_C", kind="float", terms=((4, 1, 0),), add=-400,
+          mul=0.1, pretty="Temperature", fmt="%.1f C"),
+        F("rain_mm", kind="float", terms=((5, 1, 0),), mul=0.3,
+          pretty="Rain", fmt="%.1f mm"),
+        F("mic", "const", value="CRC", pretty="Integrity"),
+    )),),
+))
+
+
+def _ts_ft002_guard(bits):
+    # the 70-bit realignment ORs a constant bit in (Python twin keeps it)
+    if bits.bits_per_row[0] == 70:
+        return FALLBACK
+    return None
+
+
+_spec(DeclSpec(
+    # TS-FT002 tank level (ref src/devices/ts_ft002.c; meters.py
+    # ts_ft002): 72-bit frame, a 71-bit row hangs a phantom 0 in front
+    # (len_align -1); reversed-byte fields, 9-byte XOR == 0
+    symbol="ts_ft002",
+    min_bits=71, max_bits=72, exact_lens=(71, 72), row_mode="row0",
+    host_guard=_ts_ft002_guard, len_aligns=((71, -1),),
+    frame_bits=72, in_bits=296,
+    checks=(Check("xor_bytes", off=0, nbytes=9, cmp_const=0),),
+    raws=(Raw(0, 8, bit_order=tuple(range(15, 7, -1))),    # 0 id (rev b1)
+          Raw(0, 8, bit_order=tuple(range(23, 15, -1))),   # 1 type
+          Raw(0, 12,                                       # 2 depth
+              bit_order=tuple(range(31, 23, -1)) + (35, 34, 33, 32)),
+          Raw(0, 4, bit_order=(39, 38, 37, 36)),           # 3 battery flag
+          Raw(0, 4, bit_order=(47, 46, 45, 44)),           # 4 transmit raw
+          Raw(0, 12,                                       # 5 temperature
+              bit_order=tuple(range(55, 47, -1)) + (43, 42, 41, 40))),
+    sanity=(San(1, "eq", 0x11),),
+    variants=(Variant(fields=(
+        F("model", "const", value="TS-FT002"),
+        F("id", terms=((0, 1, 0),), pretty="Id"),
+        F("depth_cm", terms=((2, 1, 0),), pretty="Depth"),
+        F("temperature_C", kind="float", terms=((5, 1, 0),), add=-400,
+          mul=0.1, pretty="Temperature", fmt="%.1f C"),
+        F("transmit_s", kind="enum", terms=((4, 1, 0),),
+          map={0: 180, 7: 5, 15: 5, 8: 30, 9: 30, 10: 30, 11: 30,
+               12: 30, 13: 30, 14: 30, 1: 0, 2: 0, 3: 0, 4: 0,
+               5: 0, 6: 0}, pretty="Transmit Interval"),
+        F("flags", terms=((3, 1, 0),), pretty="Battery Flag?"),
+        F("mic", "const", value="CHECKSUM", pretty="Integrity"),
+    )),),
+))
